@@ -1,0 +1,114 @@
+"""Spark-side extraction operator: Arrow-batched ``mapInPandas`` around the
+pure-Python kernels (pdf_extraction_spark.kernel).
+
+Design (SURVEY §1.4, §3): one row = one document end-to-end through the
+UDF — pages/lines of a document never cross a partition boundary, because
+the F10/F12 semantics are order-sensitive *within* a document and the
+per-document function is pure, so partitioning can never change content.
+The Spark plan around this node is fully declarative (scan → prune →
+repartition → ArrowEvalPython → sink) and Catalyst prunes the fat `html`
+binary column out of the parquet scan whenever a caller selects only
+text-layer columns.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FIELD_PAIR = StructType(
+    [StructField("field", StringType()), StructField("value", StringType())]
+)
+SPAN = StructType(
+    [
+        StructField("label", StringType()),
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+    ]
+)
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("doc_kind", StringType()),
+        StructField("extracted_text", StringType()),
+        StructField("fields", ArrayType(FIELD_PAIR)),
+        StructField("page_fields", ArrayType(ArrayType(FIELD_PAIR))),
+        StructField("spans", ArrayType(SPAN)),
+        StructField("error", StringType()),
+    ]
+)
+
+_COLS = ["url", "doc_kind", "extracted_text", "fields", "page_fields", "spans", "error"]
+
+
+def _pairs(items):
+    if items is None:
+        return None
+    return [{"field": f, "value": v} for f, v in items]
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # import inside the worker so the kernel module pickles by name
+    from pdf_extraction_spark.kernel import extract_document
+
+    for pdf in batches:
+        rows = []
+        for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+            url, kind, etext, fields, page_fields, spans, err = extract_document(
+                url, html if html is not None else None, text
+            )
+            rows.append(
+                {
+                    "url": url,
+                    "doc_kind": kind,
+                    "extracted_text": etext,
+                    "fields": _pairs(fields),
+                    "page_fields": None
+                    if page_fields is None
+                    else [_pairs(p) for p in page_fields],
+                    "spans": None
+                    if spans is None
+                    else [{"label": l, "start": s, "end": e} for l, s, e in spans],
+                    "error": err,
+                }
+            )
+        yield pd.DataFrame(rows, columns=_COLS)
+
+
+def extract_documents(pages: DataFrame) -> DataFrame:
+    """pages(url, html, text, ...) -> extraction records (EXTRACT_SCHEMA).
+
+    Selects only the three columns the kernel needs, so Catalyst prunes
+    everything else (incl. `warc_ts`/`lang`) out of the source scan.
+    """
+    return pages.select("url", "html", "text").mapInPandas(
+        _extract_batches, schema=EXTRACT_SCHEMA
+    )
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 0) -> DataFrame:
+    """Explicit skew-aware repartition (north_rule requirement).
+
+    Key = xxhash64(url) — uniform over documents regardless of host skew
+    (Zipf hosts share no key because the full url is unique).  When rows
+    are *size*-skewed (a handful of huge documents), add a deterministic
+    secondary salt derived from the document size so giant docs spread
+    across `salt_buckets` extra partitions instead of stacking up.
+    """
+    key = F.xxhash64("url")
+    if salt_buckets > 1:
+        size_col = F.coalesce(
+            F.length("text").cast("long"), F.length("html").cast("long"), F.lit(0)
+        )
+        key = F.xxhash64("url", (size_col % salt_buckets).cast("string"))
+    return df.repartition(num_partitions, key)

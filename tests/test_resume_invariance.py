@@ -1,0 +1,91 @@
+"""Partition invariance, checkpoint/resume, and skew-spread tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _collect_sorted(df):
+    return sorted(
+        df.select("url", "extracted_text", F.to_json("fields").alias("f"),
+                  F.to_json("page_fields").alias("pf"), "error").collect(),
+        key=lambda r: r["url"],
+    )
+
+
+def test_partition_invariance(spark, pages_unit):
+    """repartition(1) and repartition(64, salted) produce identical output."""
+    from pdf_extraction_spark.operators.extract import (
+        extract_documents,
+        salted_repartition,
+    )
+
+    pages = spark.read.parquet(pages_unit)
+    one = extract_documents(pages.repartition(1))
+    many = extract_documents(salted_repartition(pages, 64, salt_buckets=16))
+    assert _collect_sorted(one) == _collect_sorted(many)
+
+
+def test_resume_skips_committed_groups_and_matches_uninterrupted(
+    spark, pages_unit, tmp_path
+):
+    from pdf_extraction_spark.plans.pipeline import (
+        committed_groups,
+        read_extractions,
+        run_extraction,
+    )
+
+    full_out = str(tmp_path / "full")
+    run_extraction(spark, pages_unit, full_out, groups=4)
+
+    killed_out = str(tmp_path / "killed")
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_extraction(spark, pages_unit, killed_out, groups=4, fail_after_group=2)
+    assert committed_groups(killed_out) == {0, 1}
+
+    summary = run_extraction(spark, pages_unit, killed_out, groups=4, resume=True)
+    assert summary["skipped"] == [0, 1]
+    assert summary["committed"] == [2, 3]
+
+    assert _collect_sorted(read_extractions(spark, killed_out)) == _collect_sorted(
+        read_extractions(spark, full_out)
+    )
+
+
+def test_resume_checksums_match_between_runs(spark, pages_unit, tmp_path):
+    from pdf_extraction_spark.plans.pipeline import MANIFEST_DIR, run_extraction
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    run_extraction(spark, pages_unit, a, groups=2, num_partitions=2)
+    run_extraction(spark, pages_unit, b, groups=2, num_partitions=13)
+
+    def checksums(out):
+        d = os.path.join(out, MANIFEST_DIR)
+        return {
+            m["group"]: (m["n_rows"], m["output_checksum"])
+            for m in (json.load(open(os.path.join(d, f))) for f in os.listdir(d))
+        }
+
+    assert checksums(a) == checksums(b)  # content invariant to partitioning
+
+
+def test_skew_salted_partitions_balanced(spark, pages_unit):
+    """Zipf-skewed hosts: salted repartition keeps rows per partition
+    within 4x of the median (FIXTURES.md test matrix)."""
+    from pdf_extraction_spark.operators.extract import salted_repartition
+
+    pages = spark.read.parquet(pages_unit)
+    parts = (
+        salted_repartition(pages, 16, salt_buckets=8)
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    counts = sorted(r["count"] for r in parts)
+    median = counts[len(counts) // 2]
+    assert counts[-1] <= 4 * max(median, 1), counts
