@@ -1,0 +1,126 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+The flagship number is extraction throughput (docs/sec): the full kernel
+pipeline (page split -> F4 fold -> field extraction -> OCR state machine ->
+spans) over a pages table synthesized from `documents` and replicated
+deterministically REPLICATION× for volume (BASELINE.md's target metric is
+documents/sec extracted).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+REPLICATION = int(os.environ.get("BENCH_REPLICATION", "20"))
+
+# headline queries (subset of __spark_entry__.queries() chosen to cover every
+# operator family while keeping the run a few minutes)
+HEADLINE = [
+    "extract_kv_sql",
+    "extract_kv_kernel",
+    "text_stats",
+    "text_quality",
+    "lang_id",
+    "fingerprint_md5",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk",
+    "pricing_summary",
+    "top_customers",
+    "window_top_events",
+    "sessionize_events",
+    "events_hourly",
+]
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def build_bench_pages(spark, sf_dir: str, replication: int):
+    """documents -> pages(url, html, text), replicated deterministically."""
+    import __spark_entry__ as entrymod
+
+    d = entrymod._load(spark, sf_dir, "documents")
+    rep = d.select(
+        "doc_id", "source", "lang", "n_chars", "text",
+        F.explode(F.sequence(F.lit(0), F.lit(replication - 1))).alias("copy"),
+    )
+    return rep.select(
+        F.concat(
+            F.lit("doc://"), F.col("doc_id").cast("string"),
+            F.lit("/"), F.col("copy").cast("string"),
+        ).alias("url"),
+        F.lit(None).cast("binary").alias("html"),
+        F.concat(
+            entrymod._page_col(), F.lit("\x0c"),
+            F.lit("Second Page Header\n"),
+            F.expr("substring(text, 1, 200)"), F.lit(" 42"),
+        ).alias("text"),
+    )
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import __spark_entry__ as entrymod
+    from pdf_extraction_spark.operators.extract import (
+        extract_documents,
+        salted_repartition,
+    )
+    from pdf_extraction_spark.session import get_spark
+
+    spark = get_spark(app="bench", cpus=cpus, shuffle_partitions=cpus)
+
+    # --- flagship: extraction throughput -----------------------------------
+    pages = build_bench_pages(spark, sf_dir, REPLICATION)
+    pages.write.mode("overwrite").parquet("/tmp/bench_pages.parquet")
+    pages_on_disk = spark.read.parquet("/tmp/bench_pages.parquet")
+    n_docs = pages_on_disk.count()
+
+    t0 = time.monotonic()
+    out = extract_documents(salted_repartition(pages_on_disk, cpus * 2, salt_buckets=8))
+    n_out = out.count()
+    extract_sec = time.monotonic() - t0
+    docs_per_sec = n_out / extract_sec
+
+    # --- headline query timings --------------------------------------------
+    qs = entrymod.queries()
+    timings = {"extraction_pipeline_bulk": round(extract_sec, 3)}
+    total = extract_sec
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        _count(qs[name](spark, sf_dir))
+        sec = time.monotonic() - t0
+        timings[name] = round(sec, 3)
+        total += sec
+
+    result = {
+        "metric": "headline_suite_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "extraction_docs": n_docs,
+        "docs_per_sec": round(docs_per_sec, 1),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,225 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All four families are implemented Spark-first (declarative DataFrame ops,
+no Python in the hot path) and designed for 100 TB scale:
+
+* exact:          one shuffle on the content hash, map-side partial agg.
+* MinHash + LSH:  signatures/bands are per-row JVM expressions (no
+                  shuffle); the candidate join shuffles on band keys only —
+                  each band bucket is tiny, so the join is skew-safe, and
+                  verification runs only on candidates, never all pairs.
+* SimHash:        per-row 60-bit fingerprint; near-dup = same fingerprint
+                  bucket (or small Hamming radius via banding).
+* n-gram Jaccard: exact pairwise check, to be used only inside a blocking
+                  key (LSH candidates or small blocks) — the quadratic path
+                  is the verifier, not the discovery mechanism.
+* embedding cosine: see operators/similarity.py (shared kernels).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.functions.text import (
+    band_keys,
+    hash60,
+    minhash_signature,
+    simhash_from_hashes,
+    tokens,
+    word_ngrams,
+)
+from pdf_extraction_spark.functions.vectors import cosine
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, key
+) -> DataFrame:
+    """Exact dedup on a content key: one row per key, keep min(id).
+
+    Returns (dedup_key, keep_id, dup_count).  Single hash-shuffle on the
+    key; Catalyst does map-side partial aggregation automatically.
+    """
+    return (
+        df.select(F.col(id_col).alias("_id"), key.alias("dedup_key"))
+        .groupBy("dedup_key")
+        .agg(
+            F.min("_id").alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    block_cols: list[str] | None = None,
+    num_threshold: int = 1,
+    den_threshold: int = 2,
+) -> DataFrame:
+    """All pairs (within blocking keys) with n-gram Jaccard >= num/den.
+
+    The threshold is a rational (integer) comparison —
+        den * |A ∩ B|  >=  num * |A ∪ B|
+    — so there is no float anywhere; results are engine-exact.
+    Output: (id_a, id_b, inter_size, union_size), id_a < id_b.
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        *(block_cols or []),
+        word_ngrams(tokens(F.col(text_col)), n).alias("grams"),
+    ).filter(F.size("grams") > 0)
+
+    a = grams.alias("a")
+    b = grams.alias("b")
+    cond = F.col(f"a._id") < F.col("b._id")
+    for c in block_cols or []:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    pairs = a.join(b, cond)
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    return (
+        pairs.select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            inter.alias("inter_size"),
+            union.alias("union_size"),
+        )
+        .filter(
+            F.col("inter_size") * den_threshold >= F.col("union_size") * num_threshold
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_perms: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs: (id_a, id_b), id_a < id_b.
+
+    shingle -> minhash -> band -> bucket-join.  At scale: signatures and
+    band keys are computed per-row (no shuffle); posexplode to (band_key)
+    rows; self-join shuffles on band_key only.  distinct() collapses pairs
+    that collide in several bands.
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        word_ngrams(tokens(F.col(text_col)), n).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    return _lsh_candidates_from_grams(grams, num_perms, bands)
+
+
+def _lsh_candidates_from_grams(grams: DataFrame, num_perms: int, bands: int) -> DataFrame:
+    rows_per_band = num_perms // bands
+    # materialize the (id, band_key) rows once: the signature expression is
+    # expensive (num_perms md5 folds per gram) and the self-join would
+    # otherwise evaluate it once per join side
+    sig = grams.select(
+        "_id",
+        F.explode(
+            band_keys(
+                minhash_signature(F.col("grams"), num_perms), bands, rows_per_band
+            )
+        ).alias("band_key"),
+    ).persist()
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_perms: int = 16,
+    bands: int = 4,
+    num_threshold: int = 1,
+    den_threshold: int = 2,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates verified by exact Jaccard.
+
+    Verification joins the candidate pairs back to the gram sets — the
+    quadratic check runs on candidates only (the 100 TB-safe shape).
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        word_ngrams(tokens(F.col(text_col)), n).alias("grams"),
+    ).filter(F.size("grams") > 0).persist()
+    cand = _lsh_candidates_from_grams(grams, num_perms, bands)
+    ga = grams.select(F.col("_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter_size"),
+            union.alias("union_size"),
+        )
+        .filter(
+            F.col("inter_size") * den_threshold >= F.col("union_size") * num_threshold
+        )
+    )
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — 60-bit SimHash per document, fully JVM-side.
+
+    Token hashes are materialized in a first projection so the 60-bit fold
+    reads them once, not once per bit position.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(tokens(F.col(text_col)), hash60).alias("_hashes"),
+    )
+    return hashed.select("_id", simhash_from_hashes("_hashes").alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.9,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs >= threshold (within optional block).
+
+    The blocked join is the scale path: at 100 TB, `block_col` is a coarse
+    quantizer (IVF cell / LSH bucket); unblocked all-pairs is test-only.
+    """
+    cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")]
+    if block_col:
+        cols.append(F.col(block_col).alias("_blk"))
+    v = df.select(*cols)
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    if block_col:
+        cond = cond & (F.col("a._blk") == F.col("b._blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine(F.col("a._vec"), F.col("b._vec")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )

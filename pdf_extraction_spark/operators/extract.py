@@ -96,6 +96,48 @@ def extract_documents(pages: DataFrame) -> DataFrame:
     )
 
 
+KV_LONG_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("field", StringType()),
+        StructField("value", StringType()),
+        StructField("ord", IntegerType()),
+    ]
+)
+
+
+def _kv_long_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pdf_extraction_spark.kernel import extract_fields_direct
+
+    for pdf in batches:
+        ids, fields, values, ords = [], [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            pairs = extract_fields_direct(text or "")
+            if not pairs:
+                continue
+            for i, (f, v) in enumerate(pairs):
+                ids.append(doc_id)
+                fields.append(f)
+                values.append(v)
+                ords.append(i)
+        yield pd.DataFrame(
+            {"doc_id": ids, "field": fields, "value": values, "ord": ords}
+        )
+
+
+def extract_fields_long(df: DataFrame, id_col, text_col) -> DataFrame:
+    """Kernel-backed KV extraction to long format: (doc_id, field, value, ord).
+
+    ``ord`` is the field's first-occurrence position (F10 column order).
+    The id rides through the Arrow exchange as a string and is restored by
+    the caller if needed.
+    """
+    src = df.select(
+        F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(_kv_long_batches, schema=KV_LONG_SCHEMA)
+
+
 def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 0) -> DataFrame:
     """Explicit skew-aware repartition (north_rule requirement).
 

@@ -1,0 +1,158 @@
+"""Text-analysis operators for training-data curation: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All hot-path math is Spark SQL expressions (JVM, codegen).  Ratios are
+kept as integer pairs wherever a downstream filter needs exactness; the
+one emitted float (quality score) is a fixed-form expression with an
+exact DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.functions.text import (
+    STOPWORDS,
+    hash60,
+    stopword_hits,
+    tokens,
+    word_ngrams,
+)
+
+# language marker tokens: tiny per-language stopword sets (heuristic n-gram
+# language ID in the classic Cavnar-Trenkle spirit, reduced to word unigrams
+# so both engines compute it identically)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "es": ["el", "los", "las", "una", "para"],
+}
+
+
+def token_count(text_col) -> Column:
+    return F.size(tokens(text_col))
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token/char statistics (all integers)."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        stopword_hits(toks).alias("stopword_hits"),
+        F.length(F.regexp_replace(F.col(text_col), r"[^\.\,\!\?\;\:]", "")).alias(
+            "n_punct"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality score in [0, 100], integer (engine-exact).
+
+    score = min(40, n_tokens) + min(30, 100*distinct/total tokens * 0.3)
+          + min(30, 100*stopword_hits/total * 3)   — all integer division
+    Mirrors the usual length / lexical-diversity / stopword-ratio trio used
+    in web-corpus quality filters, quantized so both engines agree exactly.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    d = F.size(F.array_distinct(toks))
+    s = stopword_hits(toks)
+    score = (
+        F.least(F.lit(40).cast("long"), n.cast("long"))
+        + F.least(
+            F.lit(30).cast("long"),
+            F.floor((d * 30).cast("double") / F.greatest(n, F.lit(1))).cast("long"),
+        )
+        + F.least(
+            F.lit(30).cast("long"),
+            F.floor((s * 300).cast("double") / F.greatest(n, F.lit(1))).cast("long"),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        score.cast("long").alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-token language ID: argmax over per-language hit counts.
+
+    Deterministic tie-break: language list order (en, de, fr, es); docs
+    with zero hits -> 'und'.
+    """
+    toks = tokens(F.col(text_col))
+
+    def _hits(markers):
+        # NB: a default-arg lambda (lambda t, l=markers: ...) breaks here —
+        # PySpark treats a 2-parameter lambda as (element, index).
+        ms = list(markers)
+        return F.size(F.filter(toks, lambda t: t.isin(ms)))
+
+    hits = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
+    # fold in reverse declaration order with strict >, so earlier languages
+    # win ties; zero hits everywhere -> 'und'
+    expr_lang, expr_hits = F.lit("und"), F.lit(0)
+    for lang in reversed(list(LANG_MARKERS)):
+        better = (hits[lang] >= F.lit(1)) & (hits[lang] >= expr_hits)
+        expr_lang = F.when(better, F.lit(lang)).otherwise(expr_lang)
+        expr_hits = F.when(better, hits[lang]).otherwise(expr_hits)
+    return df.select(
+        F.col(id_col),
+        expr_lang.alias("pred_lang"),
+        expr_hits.alias("marker_hits"),
+    )
+
+
+def fingerprint_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whole-document content fingerprint (normalized md5)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def fingerprint_winnow(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing fingerprint (Schleimer et al., SIGMOD 2003): the set of
+    per-window minimum k-gram hashes — standard near-dup sketch for code/
+    text corpora.  Pure higher-order expressions; no UDF.
+
+    Output: (id, winnow_prints array<long> — distinct, unsorted set).
+
+    Uses ALL k-grams in position order (winnowing is order-sensitive —
+    deduplicating grams would change window composition).
+    """
+    from pdf_extraction_spark.functions.text import word_ngrams_all
+
+    # materialize the gram-hash array first: the per-window min below reads
+    # it O(n_windows) times, and inlining would recompute the md5 transform
+    # per window (quadratic)
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(word_ngrams_all(tokens(F.col(text_col)), k), hash60).alias(
+            "_hashes"
+        ),
+    )
+    hashes = F.col("_hashes")
+    n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(0))
+    prints = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_windows - 1),
+            lambda w: F.array_min(F.slice(hashes, w + 1, window)),
+        )
+    )
+    return hashed.select(
+        F.col(id_col),
+        F.when(F.size(hashes) >= window, prints)
+        .otherwise(
+            F.when(F.size(hashes) > 0, F.array(F.array_min(hashes))).otherwise(
+                F.array().cast("array<long>")
+            )
+        )
+        .alias("winnow_prints"),
+    )
