@@ -448,23 +448,28 @@ FROM t GROUP BY dedup_key
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 2-gram Jaccard >= 1/10 within same-lang blocks (integer math)."""
+    """Exact 2-gram Jaccard >= 1/10 within (lang, source) blocks.
+
+    Blocking is deliberately fine-grained: the quadratic exact verify is
+    only scale-safe inside small blocks (LSH candidates or narrow keys);
+    coarse blocks (lang alone: 5 keys) give both O(n²/5) pairs and 5-way
+    parallelism — measured 195s vs ~2s at sf0.1."""
     from pdf_extraction_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        d, "doc_id", "text", n=2, block_cols=["lang"],
+        d, "doc_id", "text", n=2, block_cols=["lang", "source"],
         num_threshold=1, den_threshold=10,
     )
 
 
 _ORACLE_JACCARD = f"""
-WITH t AS (SELECT doc_id, lang, {_DK_TOKS} AS toks FROM documents),
-g AS (SELECT doc_id, lang, {_dk_grams(2)} AS grams FROM t WHERE len({_dk_grams(2)}) > 0)
+WITH t AS (SELECT doc_id, lang, source, {_DK_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, lang, source, {_dk_grams(2)} AS grams FROM t WHERE len({_dk_grams(2)}) > 0)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter_size,
        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT) AS union_size
-FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
 WHERE len(list_intersect(a.grams, b.grams)) * 10
       >= len(list_distinct(list_concat(a.grams, b.grams))) * 1
 """
@@ -492,6 +497,20 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def _dk_minhash_sig(num_perms: int) -> str:
+    """DuckDB twin of functions.text.minhash_signature over `hs` (pre-hashed
+    grams): same literal (a_p, b_p) coefficients, same prime."""
+    from pdf_extraction_spark.functions.text import MINHASH_PRIME, minhash_coeffs
+
+    mins = ", ".join(
+        f"list_min([(h * {a} + {b}) % {MINHASH_PRIME} for h in hs])"
+        for a, b in minhash_coeffs(num_perms)
+    )
+    return f"[{mins}]"
+
+
+_DK_HASH32 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS UBIGINT)::BIGINT"
+
 _ORACLE_MINHASH = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -500,11 +519,13 @@ WITH corpus AS (
 ),
 t AS (SELECT doc_id, {_DK_TOKS} AS toks FROM corpus),
 g AS (SELECT doc_id, {_dk_grams(3)} AS grams FROM t WHERE len({_dk_grams(3)}) > 0),
-sig AS (
-  SELECT doc_id, grams,
-         [list_min([{_DK_HASH60.format(x="CAST(p AS VARCHAR) || '|' || gr")} for gr in grams])
-          for p in range(16)] AS s
+hs AS (
+  SELECT doc_id, grams, [{_DK_HASH32.format(x='gr')} for gr in grams] AS hs
   FROM g
+),
+sig AS (
+  SELECT doc_id, grams, {_dk_minhash_sig(16)} AS s
+  FROM hs
 ),
 bands AS (
   SELECT doc_id, unnest([md5(CAST(b AS VARCHAR) || ':' ||
@@ -664,6 +685,116 @@ SELECT query_id, neighbor_id,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
 FROM scored
 QUALIFY rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (binary blobs + typed metadata; decode stubbed)
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of multimodal.synth_blob's payload (4 md5 blocks = 64 bytes)
+_DK_PAYLOAD_HEX = (
+    "md5(CAST(doc_id AS VARCHAR) || ':0') || md5(CAST(doc_id AS VARCHAR) || ':1') || "
+    "md5(CAST(doc_id AS VARCHAR) || ':2') || md5(CAST(doc_id AS VARCHAR) || ':3')"
+)
+
+
+def _synth_media(spark, sf_dir):
+    from pdf_extraction_spark.operators.multimodal import synth_media
+
+    return synth_media(_load(spark, sf_dir, "documents"), "doc_id")
+
+
+def q_multimodal_metadata(spark, sf_dir):
+    """JVM-side binary header parse; oracle recomputes ground truth
+    arithmetically from the synthesis spec (independent check)."""
+    from pdf_extraction_spark.operators.multimodal import decode_metadata
+
+    return decode_metadata(_synth_media(spark, sf_dir), "media_id", "blob")
+
+
+_ORACLE_MM_META = """
+SELECT doc_id AS media_id, true AS is_valid,
+       CAST(doc_id % 64 + 1 AS BIGINT) AS width,
+       CAST(doc_id % 48 + 1 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(64 AS BIGINT) AS payload_bytes
+FROM documents
+"""
+
+
+def q_multimodal_byte_features(spark, sf_dir):
+    from pdf_extraction_spark.operators.multimodal import byte_features
+
+    out = byte_features(_synth_media(spark, sf_dir), "media_id", "blob")
+    return out.select(
+        "media_id", "n_bytes", "byte_sum",
+        F.col("byte_max").cast("long").alias("byte_max"), "n_zero",
+    )
+
+
+_ORACLE_MM_BYTES = f"""
+WITH p AS (SELECT doc_id AS media_id, {_DK_PAYLOAD_HEX} AS ph FROM documents),
+b AS (
+  SELECT media_id,
+         [CAST(('0x' || substr(ph, i*2+1, 2)) AS UBIGINT)::INT for i in range(64)] AS bs
+  FROM p
+)
+SELECT media_id, CAST(64 AS BIGINT) AS n_bytes,
+       CAST(list_sum(bs) AS BIGINT) AS byte_sum,
+       CAST(list_max(bs) AS BIGINT) AS byte_max,
+       CAST(len(list_filter(bs, x -> x = 0)) AS BIGINT) AS n_zero
+FROM b
+"""
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video-style frame sampling (16-byte frames, stride 2) — the UDF fans
+    one row out to several; frame bytes cross-checked as hex."""
+    from pdf_extraction_spark.operators.multimodal import frame_sample
+
+    out = frame_sample(
+        _synth_media(spark, sf_dir), "media_id", "blob", frame_size=16, stride=2
+    )
+    return out.select("media_id", "frame_no", "frame_len", "frame_hex")
+
+
+_ORACLE_MM_FRAMES = f"""
+WITH p AS (SELECT doc_id AS media_id, {_DK_PAYLOAD_HEX} AS ph FROM documents)
+SELECT media_id, CAST(f AS BIGINT) AS frame_no, CAST(16 AS BIGINT) AS frame_len,
+       substr(ph, f*32 + 1, 32) AS frame_hex
+FROM p, (SELECT unnest([0, 2]) AS f)
+"""
+
+
+def q_multimodal_decode_fake(spark, sf_dir):
+    """Stubbed pixel decode (fake=True deterministic stand-in; real decode
+    raises NotImplementedError — no image libs in this container)."""
+    from pdf_extraction_spark.operators.multimodal import decode_image
+
+    out = decode_image(_synth_media(spark, sf_dir), "media_id", "blob", fake=True)
+    return out.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "gray_mean_milli",
+        F.col("pixels_sampled").cast("array<long>").alias("pixels_sampled"),
+    )
+
+
+_ORACLE_MM_DECODE = f"""
+WITH p AS (SELECT doc_id AS media_id, {_DK_PAYLOAD_HEX} AS ph FROM documents),
+b AS (
+  SELECT media_id,
+         [CAST(('0x' || substr(ph, i*2+1, 2)) AS UBIGINT)::INT for i in range(64)] AS bs
+  FROM p
+)
+SELECT media_id,
+       CAST(media_id % 64 + 1 AS BIGINT) AS width,
+       CAST(media_id % 48 + 1 AS BIGINT) AS height,
+       CAST(list_sum(bs) * 1000 // 64 AS BIGINT) AS gray_mean_milli,
+       [CAST(x AS BIGINT) for x in list_slice(bs, 1, 8)] AS pixels_sampled
+FROM b
 """
 
 
@@ -902,6 +1033,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "similarity_topk": q_similarity_topk,
         "similarity_topk_bucketed": q_similarity_topk_bucketed,
+        # multimodal (binary columns; pixel decode stubbed per SURVEY §7)
+        "multimodal_metadata": q_multimodal_metadata,
+        "multimodal_byte_features": q_multimodal_byte_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_decode_fake": q_multimodal_decode_fake,
         # relational coverage
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -935,6 +1071,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _ORACLE_EMB_NEARDUP,
         "similarity_topk": _ORACLE_TOPK,
         "similarity_topk_bucketed": _ORACLE_TOPK_BUCKET,
+        "multimodal_metadata": _ORACLE_MM_META,
+        "multimodal_byte_features": _ORACLE_MM_BYTES,
+        "multimodal_frame_sample": _ORACLE_MM_FRAMES,
+        "multimodal_decode_fake": _ORACLE_MM_DECODE,
         "pricing_summary": _ORACLE_PRICING,
         "top_customers": _ORACLE_TOP_CUSTOMERS,
         "window_top_events": _ORACLE_WINDOW_TOP,

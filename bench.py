@@ -33,10 +33,14 @@ HEADLINE = [
     "text_quality",
     "lang_id",
     "fingerprint_md5",
+    "fingerprint_winnow",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "similarity_topk",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
     "pricing_summary",
     "top_customers",
     "window_top_events",
@@ -45,8 +49,14 @@ HEADLINE = [
 ]
 
 
-def _count(df) -> int:
-    return df.count()
+def _run(df) -> None:
+    """Evaluate the full query without driver collection.
+
+    ``count()`` would let Catalyst prune every projected expression (a
+    narrow query 'benchmarked' via count measures only the scan); the noop
+    datasource sink materializes every output column and discards it.
+    """
+    df.write.format("noop").mode("overwrite").save()
 
 
 def build_bench_pages(spark, sf_dir: str, replication: int):
@@ -93,9 +103,9 @@ def main():
 
     t0 = time.monotonic()
     out = extract_documents(salted_repartition(pages_on_disk, cpus * 2, salt_buckets=8))
-    n_out = out.count()
+    _run(out)
     extract_sec = time.monotonic() - t0
-    docs_per_sec = n_out / extract_sec
+    docs_per_sec = n_docs / extract_sec
 
     # --- headline query timings --------------------------------------------
     qs = entrymod.queries()
@@ -103,7 +113,7 @@ def main():
     total = extract_sec
     for name in HEADLINE:
         t0 = time.monotonic()
-        _count(qs[name](spark, sf_dir))
+        _run(qs[name](spark, sf_dir))
         sec = time.monotonic() - t0
         timings[name] = round(sec, 3)
         total += sec

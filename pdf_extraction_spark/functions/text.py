@@ -31,14 +31,21 @@ def stopword_hits(toks: Column) -> Column:
 
 def word_ngrams_all(toks: Column, n: int) -> Column:
     """All word n-grams in position order (duplicates kept) as
-    'w1 w2 … wn' strings — the order-sensitive form (winnowing needs it)."""
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda j: F.array_join(F.slice(toks, j + 1, n), " "),
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    'w1 w2 … wn' strings — the order-sensitive form (winnowing needs it).
+
+    The token array is let-bound: the per-position slice would otherwise
+    re-evaluate the split() once per gram position."""
+
+    def build(ts):
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(ts) - n),
+            lambda j: F.array_join(F.slice(ts, j + 1, n), " "),
+        )
+        return F.when(F.size(ts) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let_bound(toks, build)
 
 
 def word_ngrams(toks: Column, n: int) -> Column:
@@ -55,20 +62,66 @@ def hash60(col) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def minhash_signature(grams: Column, num_perms: int) -> Column:
-    """MinHash signature: perm p's hash of gram g = hash60(p || '|' || g).
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
 
-    A classic 'k independent hash functions via seed-prefixing' scheme —
-    entirely JVM-side via higher-order functions; no UDF.
+
+def minhash_coeffs(num_perms: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_p, b_p), derived from
+    md5 at plan-build time and embedded as literals in BOTH the Spark plan
+    and the DuckDB oracle SQL. a_p < 2^31, gram hash < 2^32, so
+    a*h + b < 2^63 — no overflow in either engine (Spark 4 runs ANSI)."""
+    import hashlib
+
+    out = []
+    for p in range(num_perms):
+        a = 1 + int(hashlib.md5(f"minhash-a:{p}".encode()).hexdigest()[:8], 16) % (
+            2**31 - 1
+        )
+        b = int(hashlib.md5(f"minhash-b:{p}".encode()).hexdigest()[:8], 16)
+        out.append((a, b))
+    return out
+
+
+def hash32(col) -> Column:
+    """32-bit hash: first 8 hex chars of md5 (DuckDB twin:
+    CAST(('0x' || substr(md5(x),1,8)) AS UBIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def let_bound(value: Column, body) -> Column:
+    """Evaluate ``value`` ONCE and pass it to ``body`` as a bound variable.
+
+    Catalyst's CollapseProject inlines intermediate projections, so an
+    "already materialized" array column gets recomputed at every reference
+    in the next select — quadratic for window-min / per-perm folds over an
+    md5-hashed gram array (verified: winnowing went 205s -> seconds at
+    sf0.1).  ``transform(array(v), x -> body(x))[1]`` is the standard
+    let-binding: the lambda variable holds the evaluated value.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perms - 1)),
-        lambda p: F.array_min(
-            F.transform(
-                grams, lambda g: hash60(F.concat(p.cast("string"), F.lit("|"), g))
-            )
-        ),
-    )
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def minhash_signature(hashes: Column, num_perms: int) -> Column:
+    """MinHash signature over a PRE-HASHED gram array (``array<long>``).
+
+    Each gram is md5-hashed ONCE (hash32); permutation p is the universal
+    hash (a_p*h + b_p) mod PRIME — plain long arithmetic per perm instead
+    of a fresh md5, which is ~16x less hashing at num_perms=16.
+    """
+    def sig(hs):
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        hs,
+                        lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME),
+                    )
+                )
+                for a, b in minhash_coeffs(num_perms)
+            ]
+        )
+
+    return let_bound(hashes, sig)
 
 
 def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
@@ -102,13 +155,19 @@ def simhash_sql(hashes_expr: str) -> str:
     This is a SQL string (not a Column builder) because shiftright with a
     non-literal shift amount is only reachable through the SQL parser —
     the PySpark `F.shiftright` wrapper requires a Python int.
+
+    The hashes expression is let-bound (evaluated once), because the outer
+    per-bit fold references it 60 times and CollapseProject would otherwise
+    inline and recompute the token-hash transform per bit.
     """
     return (
+        f"element_at(transform(array({hashes_expr}), hs -> "
         "aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, j) -> acc + "
-        f"(CASE WHEN aggregate({hashes_expr}, CAST(0 AS BIGINT), (s, h) -> s + "
+        "(CASE WHEN aggregate(hs, CAST(0 AS BIGINT), (s, h) -> s + "
         "(CASE WHEN (shiftright(h, j) & 1) = 1 THEN CAST(1 AS BIGINT) "
         "ELSE CAST(-1 AS BIGINT) END)) > 0 "
         "THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END))"
+        "), 1)"
     )
 
 

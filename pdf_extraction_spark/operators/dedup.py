@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from pdf_extraction_spark.functions.text import (
     band_keys,
+    hash32,
     hash60,
     minhash_signature,
     simhash_from_hashes,
@@ -119,14 +120,16 @@ def minhash_lsh_candidates(
 
 def _lsh_candidates_from_grams(grams: DataFrame, num_perms: int, bands: int) -> DataFrame:
     rows_per_band = num_perms // bands
-    # materialize the (id, band_key) rows once: the signature expression is
-    # expensive (num_perms md5 folds per gram) and the self-join would
-    # otherwise evaluate it once per join side
-    sig = grams.select(
+    # Hash each gram ONCE into array<long> in its own projection, then build
+    # the signature from the hashes (per-perm arithmetic only — no repeated
+    # md5).  Materialize the (id, band_key) rows so the self-join does not
+    # recompute the signature per side.
+    hashed = grams.select("_id", F.transform("grams", hash32).alias("_hashes"))
+    sig = hashed.select(
         "_id",
         F.explode(
             band_keys(
-                minhash_signature(F.col("grams"), num_perms), bands, rows_per_band
+                minhash_signature(F.col("_hashes"), num_perms), bands, rows_per_band
             )
         ).alias("band_key"),
     ).persist()

@@ -62,27 +62,41 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from pdf_extraction_spark.kernel import extract_document
 
     for pdf in batches:
-        rows = []
+        # columnar accumulation: building a DataFrame from per-column lists
+        # is several times faster than from a list of per-row dicts, and
+        # this is the hottest loop of the flagship metric (docs/sec)
+        c_url, c_kind, c_text, c_fields, c_pages, c_spans, c_err = (
+            [], [], [], [], [], [], []
+        )
         for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
             url, kind, etext, fields, page_fields, spans, err = extract_document(
                 url, html if html is not None else None, text
             )
-            rows.append(
-                {
-                    "url": url,
-                    "doc_kind": kind,
-                    "extracted_text": etext,
-                    "fields": _pairs(fields),
-                    "page_fields": None
-                    if page_fields is None
-                    else [_pairs(p) for p in page_fields],
-                    "spans": None
-                    if spans is None
-                    else [{"label": l, "start": s, "end": e} for l, s, e in spans],
-                    "error": err,
-                }
+            c_url.append(url)
+            c_kind.append(kind)
+            c_text.append(etext)
+            c_fields.append(_pairs(fields))
+            c_pages.append(
+                None if page_fields is None else [_pairs(p) for p in page_fields]
             )
-        yield pd.DataFrame(rows, columns=_COLS)
+            c_spans.append(
+                None
+                if spans is None
+                else [{"label": l, "start": s, "end": e} for l, s, e in spans]
+            )
+            c_err.append(err)
+        yield pd.DataFrame(
+            {
+                "url": c_url,
+                "doc_kind": c_kind,
+                "extracted_text": c_text,
+                "fields": c_fields,
+                "page_fields": c_pages,
+                "spans": c_spans,
+                "error": c_err,
+            },
+            columns=_COLS,
+        )
 
 
 def extract_documents(pages: DataFrame) -> DataFrame:

@@ -127,32 +127,30 @@ def fingerprint_winnow(
     Uses ALL k-grams in position order (winnowing is order-sensitive —
     deduplicating grams would change window composition).
     """
-    from pdf_extraction_spark.functions.text import word_ngrams_all
+    from pdf_extraction_spark.functions.text import let_bound, word_ngrams_all
 
-    # materialize the gram-hash array first: the per-window min below reads
-    # it O(n_windows) times, and inlining would recompute the md5 transform
-    # per window (quadratic)
-    hashed = df.select(
-        F.col(id_col),
-        F.transform(word_ngrams_all(tokens(F.col(text_col)), k), hash60).alias(
-            "_hashes"
-        ),
-    )
-    hashes = F.col("_hashes")
-    n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(0))
-    prints = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n_windows - 1),
-            lambda w: F.array_min(F.slice(hashes, w + 1, window)),
-        )
-    )
-    return hashed.select(
-        F.col(id_col),
-        F.when(F.size(hashes) >= window, prints)
-        .otherwise(
-            F.when(F.size(hashes) > 0, F.array(F.array_min(hashes))).otherwise(
-                F.array().cast("array<long>")
+    # The gram-hash array must be evaluated ONCE: the per-window min reads
+    # it O(n_windows) times, and CollapseProject would inline a "separate
+    # projection" right back into every reference (quadratic md5 recompute).
+    # let_bound pins it as a lambda variable.
+    def winnow(hashes):
+        n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(0))
+        prints = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_windows - 1),
+                lambda w: F.array_min(F.slice(hashes, w + 1, window)),
             )
         )
-        .alias("winnow_prints"),
+        return (
+            F.when(F.size(hashes) >= window, prints)
+            .otherwise(
+                F.when(F.size(hashes) > 0, F.array(F.array_min(hashes))).otherwise(
+                    F.array().cast("array<long>")
+                )
+            )
+        )
+
+    hashed = F.transform(word_ngrams_all(tokens(F.col(text_col)), k), hash60)
+    return df.select(
+        F.col(id_col), let_bound(hashed, winnow).alias("winnow_prints")
     )
