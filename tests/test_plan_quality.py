@@ -1,0 +1,69 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must
+actually appear in the executed plan, not just in docstrings.
+
+* column pruning: the fat ``html`` binary column must be absent from the
+  parquet ReadSchema of any text-only query;
+* predicate pushdown: a ``lang``/``warc_ts`` filter must reach the scan as
+  PushedFilters;
+* the extraction pipeline must keep its Python stage Arrow-batched
+  (ArrowEvalPython / mapInPandas node, never BatchEvalPython row-UDF).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_column_pruning_drops_html(spark, pages_unit):
+    pages = spark.read.parquet(pages_unit)
+    q = pages.select("url", F.length("text").alias("n"))
+    plan = _formatted_plan(q)
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    assert "html" not in scan[0], scan[0]
+    assert "warc_ts" not in scan[0], scan[0]
+
+
+def test_filter_pushdown_reaches_scan(spark, pages_unit):
+    pages = spark.read.parquet(pages_unit)
+    q = pages.filter(F.col("lang") == "en").select("url")
+    plan = _formatted_plan(q)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    assert "EqualTo(lang,en)" in pushed[0], pushed[0]
+
+
+def test_extraction_stage_is_arrow_batched(spark, pages_unit):
+    from pdf_extraction_spark.operators.extract import extract_documents
+
+    q = extract_documents(spark.read.parquet(pages_unit))
+    plan = _formatted_plan(q)
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_exact_dedup_has_partial_aggregation(spark, pages_unit):
+    """One shuffle, with a map-side partial agg before the exchange."""
+    from pdf_extraction_spark.operators.dedup import exact_dedup
+
+    pages = spark.read.parquet(pages_unit)
+    q = exact_dedup(pages, "url", F.xxhash64("text"))
+    plan = _formatted_plan(q)
+    # formatted output shows each node once in the tree ("+- Exchange (5)")
+    # and once in the detail section ("(5) Exchange") — count tree lines only
+    assert plan.count("+- Exchange") == 1, plan
+    # partial agg appears below the exchange in the tree (string min() makes
+    # Spark pick SortAggregate — the buffer type is immutable)
+    tree = plan.split("\n\n")[0].splitlines()
+    exch_idx = next(i for i, l in enumerate(tree) if "Exchange" in l)
+    assert any("Aggregate" in l for l in tree[exch_idx + 1:]), plan
