@@ -97,7 +97,12 @@ def main():
 
     # --- flagship: extraction throughput -----------------------------------
     pages = build_bench_pages(spark, sf_dir, REPLICATION)
-    pages.write.mode("overwrite").parquet("/tmp/bench_pages.parquet")
+    # many files on disk: small synthetic rows compress so hard that an
+    # unpartitioned write yields one file = one scan split, serializing the
+    # stage that feeds the extraction shuffle (see scripts/scaling_bench.py)
+    pages.repartition(cpus * 4).write.mode("overwrite").parquet(
+        "/tmp/bench_pages.parquet"
+    )
     pages_on_disk = spark.read.parquet("/tmp/bench_pages.parquet")
     n_docs = pages_on_disk.count()
 
