@@ -133,23 +133,298 @@ class _Extractor(HTMLParser):
             self._link_chars += stripped_len
 
 
-def extract_main_text(html_bytes: bytes, encoding: str = "utf-8") -> str:
-    """Boilerplate-strip ``html_bytes`` -> main-content text.
+# ---------------------------------------------------------------------------
+# Fast scanner: replicates the OBSERVABLE behavior of stdlib HTMLParser
+# (convert_charrefs=True, no close()) for the event subset _Extractor
+# consumes, without the per-character dispatch machinery.  Every branch
+# below mirrors a branch of html/parser.py's goahead/parse_* (Python
+# 3.11.7); tests/test_html_fast.py holds the two implementations equal.
+# ---------------------------------------------------------------------------
 
-    Returns the title (if present) followed by every kept block, each
-    suffixed with "\\n" (F4-style trailing newline per block).
-    """
-    parser = _Extractor()
-    parser.feed(html_bytes.decode(encoding, errors="replace"))
-    parser._flush()
+from html import unescape as _unescape
 
+_SIMPLE_OPEN = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)>")
+_TAGFIND = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+_ATTRFIND = re.compile(
+    r"((?<=[\'\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"(\'[^\']*\'|\"[^\"]*\"|(?![\'\"])[^>\s]*))?(?:\s|/(?!>))*"
+)
+_LOCATE_START = re.compile(
+    r"<[a-zA-Z][^\t\n\r\f />\x00]*"
+    r"(?:[\s/]*(?:(?<=['\"\s/])[^\s/>][^\s/=>]*"
+    r"(?:\s*=+\s*(?:'[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*)\s*)?(?:\s|/(?!>))*)*)?"
+    r"\s*"
+)
+_ENDTAGFIND = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_COMMENT_CLOSE = re.compile(r"--\s*>")
+_SPACE_SEMI = re.compile(r"[\s;]")
+_CDATA_END = {
+    elem: re.compile(r"</\s*%s\s*>" % elem, re.IGNORECASE)
+    for elem in ("script", "style")
+}
+_ASCII_LETTERS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+_BOGUS_NEXT = _ASCII_LETTERS | set("=/")
+
+
+def _fast_scan(src: str):
+    """Scan ``src``; returns (title, blocks) or None to request the spec
+    fallback (input uses a construct the scanner does not replicate)."""
+    n = len(src)
+    i = 0
+    blocks: list[tuple[str, int, bool]] = []
+    buf: list[str] = []
+    link_chars = 0
+    heading = False
+    drop: list[str] = []
+    a_depth = 0
+    in_title = False
+    title = None
+    title_buf: list[str] = []
+    cdata = None  # active CDATA element name (script/style) or None
+
+    # `" ".join(s.split())` == `_WS_RE.sub(" ", s).strip()` — verified
+    # exhaustively: re \s and str.isspace agree on every code point, so the
+    # split/join form (no regex) is byte-identical and ~3x faster.
+    def flush():
+        nonlocal link_chars, heading
+        if buf:
+            text = " ".join("".join(buf).split())
+            if text:
+                blocks.append((text, link_chars, heading))
+            buf.clear()
+        link_chars = 0
+        heading = False
+
+    def data(seg: str):
+        nonlocal link_chars
+        if drop:
+            return
+        if in_title:
+            title_buf.append(seg)
+            return
+        buf.append(seg)
+        if a_depth:
+            link_chars += len(" ".join(seg.split()))
+
+    def starttag(tag: str, classid):
+        nonlocal in_title, a_depth, heading
+        if drop:
+            drop.append(tag)
+            return
+        if tag in DROP_TAGS or (
+            classid and any(_BLOCKLIST_RE.search(v) for v in classid)
+        ):
+            flush()
+            drop.append(tag)
+            return
+        if tag == "title":
+            flush()
+            in_title = True
+            return
+        if tag == "a":
+            a_depth += 1
+        if tag in BLOCK_TAGS:
+            flush()
+            if tag in HEADING_TAGS:
+                heading = True
+
+    def endtag(tag: str):
+        nonlocal in_title, title, a_depth
+        if drop:
+            for k in range(len(drop) - 1, -1, -1):
+                if drop[k] == tag:
+                    del drop[k:]
+                    break
+            return
+        if tag == "title":
+            if in_title:
+                title = " ".join("".join(title_buf).split()) or None
+                in_title = False
+                title_buf.clear()
+            return
+        if tag == "a" and a_depth:
+            a_depth -= 1
+        if tag in BLOCK_TAGS:
+            flush()
+
+    while i < n:
+        if cdata is not None:
+            # only the matching `</\s*elem\s*>` is special; all else is data
+            m = _CDATA_END[cdata].search(src, i)
+            if not m:
+                break  # no close(): trailing cdata is silently discarded
+            if i < m.start():
+                data(src[i:m.start()])  # raw (charrefs NOT converted)
+            endtag(cdata)
+            cdata = None
+            i = m.end()
+            continue
+
+        j = src.find("<", i)
+        if j < 0:
+            # tail text: held back when a charref may be cut at the end
+            amppos = src.rfind("&", max(i, n - 34))
+            if amppos >= 0 and not _SPACE_SEMI.search(src, amppos):
+                break
+            j = n
+        if i < j:
+            seg = src[i:j]
+            data(_unescape(seg) if "&" in seg else seg)
+        i = j
+        if i >= n:
+            break
+        c = src[i + 1 : i + 2]
+        if c in _ASCII_LETTERS:
+            # ---- start tag ----
+            sm = _SIMPLE_OPEN.match(src, i)
+            if sm:  # overwhelmingly common `<tag>` case
+                tag = sm.group(1).lower()
+                starttag(tag, None)
+                if tag in _CDATA_END:
+                    cdata = tag
+                i = sm.end()
+                continue
+            lm = _LOCATE_START.match(src, i)
+            j2 = lm.end()
+            nxt = src[j2 : j2 + 1]
+            if nxt == ">":
+                endpos = j2 + 1
+            elif nxt == "/":
+                if src.startswith("/>", j2):
+                    endpos = j2 + 2
+                else:
+                    break  # incomplete at buffer end -> discard rest
+            elif nxt == "" or nxt in _BOGUS_NEXT:
+                break  # incomplete -> discard rest
+            else:
+                endpos = j2 if j2 > i else i + 1
+            tm = _TAGFIND.match(src, i + 1)
+            tag = tm.group(1).lower()
+            k = tm.end()
+            classid = []
+            while k < endpos:
+                am = _ATTRFIND.match(src, k)
+                if not am:
+                    break
+                name, rest, val = am.group(1, 2, 3)
+                if not rest:
+                    val = None
+                elif val[:1] == "'" == val[-1:] or val[:1] == '"' == val[-1:]:
+                    val = val[1:-1]
+                if val and "&" in val:
+                    val = _unescape(val)
+                if val and name.lower() in ("class", "id"):
+                    classid.append(val)
+                k = am.end()
+            end = src[k:endpos].strip()
+            if end not in (">", "/>"):
+                data(src[i:endpos])  # bogus tag re-emitted as raw data
+                i = endpos
+                continue
+            if end.endswith("/>"):
+                if tag == "br" and not drop:  # _Extractor.handle_startendtag
+                    flush()
+            else:
+                starttag(tag, classid)
+                if tag in _CDATA_END:
+                    cdata = tag
+            i = endpos
+        elif c == "/":
+            # ---- end tag ----
+            gt = src.find(">", i + 1)
+            if gt < 0:
+                break  # incomplete -> discard rest
+            em = _ENDTAGFIND.match(src, i)
+            if em:
+                endtag(em.group(1).lower())
+                i = em.end()
+                continue
+            nm = _TAGFIND.match(src, i + 2)
+            if not nm:
+                if src.startswith("</>", i):
+                    i += 3
+                    continue
+                pos = src.find(">", i + 2)  # bogus comment, ignored
+                if pos < 0:
+                    break
+                i = pos + 1
+                continue
+            endtag(nm.group(1).lower())
+            i = src.find(">", nm.end()) + 1
+        elif src.startswith("<!--", i):
+            m = _COMMENT_CLOSE.search(src, i + 4)
+            if not m:
+                break
+            i = m.end()
+        elif c == "?":
+            pos = src.find(">", i + 2)
+            if pos < 0:
+                break
+            i = pos + 1
+        elif c == "!":
+            if src.startswith("<![", i):
+                return None  # marked section: delegate to the spec parser
+            if src[i : i + 9].lower() == "<!doctype":
+                pos = src.find(">", i + 9)
+            else:
+                pos = src.find(">", i + 2)  # bogus comment
+            if pos < 0:
+                break
+            i = pos + 1
+        elif i + 1 < n:
+            data("<")
+            i += 1
+        else:
+            break
+
+    flush()
+    return title, blocks
+
+
+def _render(title, blocks) -> str:
+    """Shared block selection + join (the scoring step of the spec)."""
     kept: list[str] = []
-    if parser.title:
-        kept.append(parser.title)
-    for text, link_chars, heading in parser.blocks:
+    if title:
+        kept.append(title)
+    for text, link_chars, heading in blocks:
         total = len(text)
         if 3 * link_chars > total:  # link density > 1/3 -> boilerplate
             continue
         if total >= 25 or ":" in text or heading:
             kept.append(text)
     return "".join(b + "\n" for b in kept)
+
+
+def extract_main_text_spec(html_bytes: bytes, encoding: str = "utf-8") -> str:
+    """Reference implementation on stdlib ``html.parser`` — THE spec.
+
+    The golden oracle (tests/oracle.py) calls this version; the pipeline
+    calls the byte-identical fast scanner below, so the golden tests
+    cross-check the two implementations end-to-end.
+    """
+    parser = _Extractor()
+    parser.feed(html_bytes.decode(encoding, errors="replace"))
+    parser._flush()
+    return _render(parser.title, parser.blocks)
+
+
+def extract_main_text(html_bytes: bytes, encoding: str = "utf-8") -> str:
+    """Boilerplate-strip ``html_bytes`` -> main-content text.
+
+    Returns the title (if present) followed by every kept block, each
+    suffixed with "\\n" (F4-style trailing newline per block).
+
+    Uses the fast scanner (~3x the spec's HTMLParser) and falls back to the
+    spec implementation for the rare constructs the scanner does not
+    replicate (marked sections ``<![``).  Byte-equivalence of the two paths
+    is enforced by tests/test_html_fast.py (fixture corpus + adversarial
+    fuzz) in addition to the golden byte-identity suite.
+    """
+    src = html_bytes.decode(encoding, errors="replace")
+    result = _fast_scan(src)
+    if result is None:
+        parser = _Extractor()
+        parser.feed(src)
+        parser._flush()
+        return _render(parser.title, parser.blocks)
+    return _render(*result)

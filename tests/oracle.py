@@ -80,12 +80,14 @@ def oracle_csv_bytes(records) -> bytes:
 
 def oracle_document(url, html_bytes, text):
     """Golden record for one pages-table row (same shape as the pipeline)."""
-    from pdf_extraction_spark.html_extract import extract_main_text
+    # the SPEC parser (stdlib HTMLParser), deliberately not the fast scanner
+    # the pipeline uses — golden equality then cross-checks the two
+    from pdf_extraction_spark.html_extract import extract_main_text_spec
     from pdf_extraction_spark.kernel import label_spans  # our spec, shared
 
     if html_bytes is not None:
         doc_kind = "html"
-        extracted_text = extract_main_text(bytes(html_bytes))
+        extracted_text = extract_main_text_spec(bytes(html_bytes))
         # direct extraction applied to the stripped text itself (no F4
         # re-fold — extract_main_text already terminates blocks with \n)
         fields = _oracle_fields_only(extracted_text)
