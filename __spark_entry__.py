@@ -966,6 +966,67 @@ ORDER BY n_chars DESC, doc_id LIMIT 20
 """
 
 
+def q_extract_html_main(spark, sf_dir):
+    """North-star HTML boilerplate strip, value-checked against an ANALYTIC
+    oracle: Spark runs the real scanner kernel (mapInPandas) over HTML
+    constructed deterministically from `documents`; DuckDB derives the
+    expected extracted text directly from the same source columns (it never
+    parses HTML).  Construction guarantees each block's fate: the nav block
+    is 100% link chars (always dropped), the 'Key:' block contains a colon
+    (always kept), the padded block is >=25 chars (always kept)."""
+    from pdf_extraction_spark.operators.extract import extract_documents
+
+    d = _load(spark, sf_dir, "documents")
+    clean = F.regexp_replace(F.expr("substring(text, 1, 400)"), "[&<>]", "")
+    words = F.split(clean, " ")
+    b1 = F.concat_ws(" ", F.slice(words, 1, 8))
+    b2 = F.concat_ws(" ", F.slice(words, 9, 10))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit('</title></head><body><div class="menu bar">boilerplate</div>'),
+        F.lit('<p><a href="/nav">pure link block dropped</a></p>'),
+        F.lit("<p>Key: "), b1, F.lit("</p><p>"), b2,
+        F.lit(" padded-to-exceed-twentyfive-characters</p></body></html>"),
+    )
+    pages = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    out = extract_documents(pages)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "extracted_text",
+        F.size("fields").cast("long").alias("n_fields"),
+        "error",
+    )
+
+
+_ORACLE_HTML_MAIN = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(regexp_replace(substr(text, 1, 400), '[&<>]', '', 'g'), ' ')
+           AS ws
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         trim(regexp_replace('Key: ' || array_to_string(list_slice(ws, 1, 8), ' '),
+                             '\s+', ' ', 'g')) AS blk1,
+         trim(regexp_replace(array_to_string(list_slice(ws, 9, 18), ' ')
+                             || ' padded-to-exceed-twentyfive-characters',
+                             '\s+', ' ', 'g')) AS blk2
+  FROM d
+)
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+         || blk1 || chr(10) || blk2 || chr(10) AS extracted_text,
+       CAST(1 AS BIGINT) AS n_fields,
+       CAST(NULL AS VARCHAR) AS error
+FROM b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Full-pipeline entries (kernel semantics; no SQL oracle — rows-only check;
 # byte-level correctness is covered by pytest golden fixtures)
@@ -1015,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_kv_wide": q_extract_kv_wide,
         "extract_page_concat": q_extract_page_concat,
         "extract_prompt_truncate": q_extract_prompt_truncate,
+        "extract_html_main": q_extract_html_main,
         "filter_nonempty_by_lang": q_filter_nonempty_by_lang,
         "extraction_pipeline": q_extraction_pipeline,
         # text analysis
@@ -1056,6 +1118,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_kv_wide": _ORACLE_KV_WIDE,
         "extract_page_concat": _ORACLE_PAGE_CONCAT,
         "extract_prompt_truncate": _ORACLE_PROMPT,
+        "extract_html_main": _ORACLE_HTML_MAIN,
         "filter_nonempty_by_lang": _ORACLE_NONEMPTY,
         # extraction_pipeline: kernel state machine — rows-only check
         "text_stats": _ORACLE_TEXT_STATS,
