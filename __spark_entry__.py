@@ -477,7 +477,11 @@ WHERE len(list_intersect(a.grams, b.grams)) * 10
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16 perms) + LSH(8 bands x 2 rows) + exact-Jaccard verify on a
-    corpus of base docs UNION near-duplicate perturbations."""
+    corpus of base docs UNION near-duplicate perturbations.
+
+    max_bucket=64 drops degenerate band buckets (one bucket held 834 of
+    10k docs at sf0.1 — 85% of all candidate pairs) before the self-join;
+    the oracle applies the identical cap with a window count."""
     from pdf_extraction_spark.operators.dedup import minhash_lsh_dedup_pairs
 
     d = _load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -488,7 +492,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     corpus = d.unionByName(pert)
     out = minhash_lsh_dedup_pairs(
         corpus, "doc_id", "text", n=3, num_perms=16, bands=8,
-        num_threshold=1, den_threshold=2,
+        num_threshold=1, den_threshold=2, max_bucket=64,
     )
     return out.select(
         "id_a", "id_b",
@@ -534,9 +538,17 @@ bands AS (
          for b in range(8)]) AS band_key
   FROM sig
 ),
+bands_capped AS (
+  SELECT doc_id, band_key FROM (
+    SELECT doc_id, band_key,
+           count(*) OVER (PARTITION BY band_key) AS bc
+    FROM bands
+  ) WHERE bc <= 64
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+  FROM bands_capped a
+  JOIN bands_capped b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 SELECT c.id_a, c.id_b,
        CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS inter_size,

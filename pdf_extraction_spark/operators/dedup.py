@@ -5,9 +5,14 @@ no Python in the hot path) and designed for 100 TB scale:
 
 * exact:          one shuffle on the content hash, map-side partial agg.
 * MinHash + LSH:  signatures/bands are per-row JVM expressions (no
-                  shuffle); the candidate join shuffles on band keys only —
-                  each band bucket is tiny, so the join is skew-safe, and
-                  verification runs only on candidates, never all pairs.
+                  shuffle); the candidate join shuffles on band keys only.
+                  Bucket sizes are NOT naturally bounded — short or highly
+                  similar documents can collapse one band onto thousands of
+                  docs (measured: one bucket held 834 of 10k docs = 85% of
+                  all candidate pairs), so `max_bucket` drops degenerate
+                  buckets before the self-join; their members are still
+                  covered by the other bands and by exact dedup.
+                  Verification runs only on candidates, never all pairs.
 * SimHash:        per-row 60-bit fingerprint; near-dup = same fingerprint
                   bucket (or small Hamming radius via banding).
 * n-gram Jaccard: exact pairwise check, to be used only inside a blocking
@@ -103,22 +108,29 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_perms: int = 16,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs: (id_a, id_b), id_a < id_b.
 
     shingle -> minhash -> band -> bucket-join.  At scale: signatures and
     band keys are computed per-row (no shuffle); posexplode to (band_key)
     rows; self-join shuffles on band_key only.  distinct() collapses pairs
-    that collide in several bands.
+    that collide in several bands.  ``max_bucket`` (strongly recommended at
+    scale) drops band buckets larger than the cap before pair generation —
+    a degenerate bucket of k docs otherwise emits k^2/2 pairs.
     """
     grams = df.select(
         F.col(id_col).alias("_id"),
         word_ngrams(tokens(F.col(text_col)), n).alias("grams"),
     ).filter(F.size("grams") > 0)
-    return _lsh_candidates_from_grams(grams, num_perms, bands)
+    return _lsh_candidates_from_grams(grams, num_perms, bands, max_bucket)
 
 
-def _lsh_candidates_from_grams(grams: DataFrame, num_perms: int, bands: int) -> DataFrame:
+def _lsh_candidates_from_grams(
+    grams: DataFrame, num_perms: int, bands: int, max_bucket: int | None = None
+) -> DataFrame:
+    from pyspark.sql import Window
+
     rows_per_band = num_perms // bands
     # Hash each gram ONCE into array<long> in its own projection, then build
     # the signature from the hashes (per-perm arithmetic only — no repeated
@@ -132,7 +144,13 @@ def _lsh_candidates_from_grams(grams: DataFrame, num_perms: int, bands: int) -> 
                 minhash_signature(F.col("_hashes"), num_perms), bands, rows_per_band
             )
         ).alias("band_key"),
-    ).persist()
+    )
+    if max_bucket is not None:
+        # one count-window over the band partitioning (same shuffle the
+        # self-join needs anyway); degenerate buckets never reach the join
+        bc = F.count("*").over(Window.partitionBy("band_key"))
+        sig = sig.withColumn("_bc", bc).filter(F.col("_bc") <= max_bucket).drop("_bc")
+    sig = sig.persist()
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -152,6 +170,7 @@ def minhash_lsh_dedup_pairs(
     bands: int = 4,
     num_threshold: int = 1,
     den_threshold: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified by exact Jaccard.
 
@@ -162,7 +181,7 @@ def minhash_lsh_dedup_pairs(
         F.col(id_col).alias("_id"),
         word_ngrams(tokens(F.col(text_col)), n).alias("grams"),
     ).filter(F.size("grams") > 0).persist()
-    cand = _lsh_candidates_from_grams(grams, num_perms, bands)
+    cand = _lsh_candidates_from_grams(grams, num_perms, bands, max_bucket)
     ga = grams.select(F.col("_id").alias("id_a"), F.col("grams").alias("grams_a"))
     gb = grams.select(F.col("_id").alias("id_b"), F.col("grams").alias("grams_b"))
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
