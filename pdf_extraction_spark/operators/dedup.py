@@ -77,7 +77,8 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         *(block_cols or []),
         word_ngrams(tokens(F.col(text_col)), n).alias("grams"),
-    ).filter(F.size("grams") > 0)
+        F.size(word_ngrams(tokens(F.col(text_col)), n)).alias("_sz"),
+    ).filter(F.col("_sz") > 0)
 
     a = grams.alias("a")
     b = grams.alias("b")
@@ -85,14 +86,15 @@ def ngram_jaccard_pairs(
     for c in block_cols or []:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     pairs = a.join(b, cond)
+    # grams are distinct sets, so |A∪B| = |A| + |B| - |A∩B| — one array
+    # pass per pair instead of two (the pair count is the quadratic term)
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
     return (
         pairs.select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             inter.alias("inter_size"),
-            union.alias("union_size"),
+            (F.col("a._sz") + F.col("b._sz") - inter).alias("union_size"),
         )
         .filter(
             F.col("inter_size") * den_threshold >= F.col("union_size") * num_threshold
