@@ -395,6 +395,44 @@ def _render(title, blocks) -> str:
     return "".join(b + "\n" for b in kept)
 
 
+# ---------------------------------------------------------------------------
+# Charset detection (deterministic; shared by spec and fast paths)
+# ---------------------------------------------------------------------------
+
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+# HTML5-style prescan: a charset declaration in the first 1024 bytes,
+# either <meta charset=X> or <meta http-equiv=... content="...; charset=X">
+_META_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-:.]+)", re.I)
+
+
+def detect_charset(html_bytes: bytes) -> str | None:
+    """BOM first, then meta-prescan of the first 1024 bytes; None if neither
+    yields a codec Python knows.  Pure function of the bytes."""
+    import codecs
+
+    for bom, enc in _BOMS:
+        if html_bytes.startswith(bom):
+            return enc
+    m = _META_CHARSET_RE.search(html_bytes[:1024])
+    if m:
+        name = m.group(1).decode("ascii", "replace")
+        try:
+            codecs.lookup(name)
+            return name
+        except LookupError:
+            pass
+    return None
+
+
+def _decode_html(html_bytes: bytes, fallback: str) -> str:
+    enc = detect_charset(html_bytes) or fallback
+    return html_bytes.decode(enc, errors="replace")
+
+
 def extract_main_text_spec(html_bytes: bytes, encoding: str = "utf-8") -> str:
     """Reference implementation on stdlib ``html.parser`` — THE spec.
 
@@ -403,7 +441,7 @@ def extract_main_text_spec(html_bytes: bytes, encoding: str = "utf-8") -> str:
     cross-check the two implementations end-to-end.
     """
     parser = _Extractor()
-    parser.feed(html_bytes.decode(encoding, errors="replace"))
+    parser.feed(_decode_html(html_bytes, encoding))
     parser._flush()
     return _render(parser.title, parser.blocks)
 
@@ -412,7 +450,9 @@ def extract_main_text(html_bytes: bytes, encoding: str = "utf-8") -> str:
     """Boilerplate-strip ``html_bytes`` -> main-content text.
 
     Returns the title (if present) followed by every kept block, each
-    suffixed with "\\n" (F4-style trailing newline per block).
+    suffixed with "\\n" (F4-style trailing newline per block).  The byte
+    payload's charset is sniffed (BOM, then meta prescan) with ``encoding``
+    as the fallback — Common-Crawl pages declare a mix of charsets.
 
     Uses the fast scanner (~3x the spec's HTMLParser) and falls back to the
     spec implementation for the rare constructs the scanner does not
@@ -420,7 +460,7 @@ def extract_main_text(html_bytes: bytes, encoding: str = "utf-8") -> str:
     is enforced by tests/test_html_fast.py (fixture corpus + adversarial
     fuzz) in addition to the golden byte-identity suite.
     """
-    src = html_bytes.decode(encoding, errors="replace")
+    src = _decode_html(html_bytes, encoding)
     result = _fast_scan(src)
     if result is None:
         parser = _Extractor()

@@ -152,3 +152,40 @@ def test_fuzz_equivalence():
         assert fast == spec, (
             f"fuzz case {case} mismatch:\n html={html!r}\n fast={fast!r}\n spec={spec!r}"
         )
+
+
+def test_charset_detection():
+    from pdf_extraction_spark.html_extract import detect_charset
+
+    latin = '<meta charset="iso-8859-1"><p>caf\xe9 content here: ok</p>'.encode(
+        "iso-8859-1"
+    )
+    assert detect_charset(latin) == "iso-8859-1"
+    fast, spec = (
+        extract_main_text(latin),
+        extract_main_text_spec(latin),
+    )
+    assert fast == spec and "café" in fast
+
+    meta_ct = (
+        b'<meta http-equiv="Content-Type" content="text/html; charset=windows-1252">'
+        b"<p>euro \x80 sign block: kept</p>"
+    )
+    assert detect_charset(meta_ct) == "windows-1252"
+    assert "€" in extract_main_text(meta_ct)
+    assert extract_main_text(meta_ct) == extract_main_text_spec(meta_ct)
+
+    bom = "﻿<p>bom page content: kept</p>".encode("utf-8-sig")
+    # utf-8-sig BOM detected -> the BOM char must not leak into the text
+    assert detect_charset(bom) == "utf-8-sig"
+    out = extract_main_text(bom)
+    assert out == extract_main_text_spec(bom) and "﻿" not in out
+
+    u16 = "<p>utf sixteen page: kept</p>".encode("utf-16-le")
+    assert detect_charset(b"\xff\xfe" + u16) == "utf-16-le"
+
+    bogus = b'<meta charset="no-such-codec"><p>fallback block: kept</p>'
+    assert detect_charset(bogus) is None
+    assert extract_main_text(bogus) == extract_main_text_spec(bogus)
+
+    assert detect_charset(b"<p>plain</p>") is None
