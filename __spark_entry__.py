@@ -978,6 +978,33 @@ ORDER BY n_chars DESC, doc_id LIMIT 20
 """
 
 
+def q_llm_enrich_stub(spark, sf_dir):
+    """F17 enrichment through the deterministic stub: prompt assembly (F16)
+    + md5-tagged fake generation, value-checked against a DuckDB twin."""
+    from pdf_extraction_spark.operators.llm_stub import enrich_llm
+
+    d = _load(spark, sf_dir, "documents")
+    out = enrich_llm(d, "doc_id", "text", task="summarize")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "prompt", "generated_text"
+    )
+
+
+_ORACLE_LLM_STUB = """
+WITH p AS (
+  SELECT doc_id,
+         'Task: summarize' || chr(10) || chr(10) || 'PDF Content:' || chr(10)
+           || substr(text, 1, 3000) AS prompt,
+         substr(substr(text, 1, 3000), 1, 64) AS body
+  FROM documents
+)
+SELECT doc_id, prompt,
+       '[stub:' || substr(md5(prompt), 1, 8) || '] summarize: ' || body
+         AS generated_text
+FROM p
+"""
+
+
 def q_extract_html_main(spark, sf_dir):
     """North-star HTML boilerplate strip, value-checked against an ANALYTIC
     oracle: Spark runs the real scanner kernel (mapInPandas) over HTML
@@ -1089,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_page_concat": q_extract_page_concat,
         "extract_prompt_truncate": q_extract_prompt_truncate,
         "extract_html_main": q_extract_html_main,
+        "llm_enrich_stub": q_llm_enrich_stub,
         "filter_nonempty_by_lang": q_filter_nonempty_by_lang,
         "extraction_pipeline": q_extraction_pipeline,
         # text analysis
@@ -1131,6 +1159,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_page_concat": _ORACLE_PAGE_CONCAT,
         "extract_prompt_truncate": _ORACLE_PROMPT,
         "extract_html_main": _ORACLE_HTML_MAIN,
+        "llm_enrich_stub": _ORACLE_LLM_STUB,
         "filter_nonempty_by_lang": _ORACLE_NONEMPTY,
         # extraction_pipeline: kernel state machine — rows-only check
         "text_stats": _ORACLE_TEXT_STATS,
