@@ -29,6 +29,8 @@ def main(argv=None) -> int:
     p.add_argument("--salt", type=int, default=8, help="size-salt buckets for skew")
     p.add_argument("--resume", action="store_true", help="skip committed groups")
     p.add_argument("--cpus", type=int, default=None, help="local[N] cores")
+    p.add_argument("--format", choices=["parquet", "jsonl"], default="parquet",
+                   help="input format (jsonl carries html as base64)")
     args = p.parse_args(argv)
 
     from pdf_extraction_spark.session import get_spark
@@ -43,6 +45,7 @@ def main(argv=None) -> int:
         args.output,
         num_partitions=args.partitions,
         salt_buckets=args.salt,
+        input_format=args.format,
         groups=args.groups,
         resume=args.resume,
     )

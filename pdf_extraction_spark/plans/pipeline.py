@@ -83,15 +83,23 @@ def run_extraction(
     groups: int = 4,
     resume: bool = False,
     fail_after_group: int | None = None,
+    input_format: str = "parquet",
 ) -> dict:
     """Run the pipeline; returns a summary dict (also persisted per group).
 
     ``fail_after_group`` is a test hook: raise after committing that many
     groups, simulating a killed job for the resume test.
+    ``input_format``: "parquet" (Iceberg/parquet table) or "jsonl"
+    (crawl-dump interchange; html carried as base64).
     """
+    from pdf_extraction_spark.sources.pages import read_pages_jsonl
+
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    pages = spark.read.parquet(pages_path)
+    if input_format == "jsonl":
+        pages = read_pages_jsonl(spark, pages_path)
+    else:
+        pages = spark.read.parquet(pages_path)
     done = committed_groups(out_path) if resume else set()
     summary = {"groups": groups, "skipped": sorted(done), "committed": []}
     committed_count = 0

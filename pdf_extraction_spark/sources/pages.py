@@ -80,6 +80,48 @@ def validate_pages_schema(df: DataFrame) -> None:
         raise ValueError("pages table schema mismatch: " + "; ".join(problems))
 
 
+_JSONL_READ_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html_b64", StringType()),  # binary travels as base64
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Pages from JSONL (the common crawl-dump interchange format).
+
+    JSON has no binary type, so `html` is carried as base64 in `html_b64`
+    and decoded JVM-side; the result has the standard pages schema.  The
+    explicit read schema keeps Spark from a sampling pass over the data to
+    infer types (at 100 TB, schema inference is a full extra scan).
+    """
+    from pyspark.sql import functions as F
+
+    raw = spark.read.schema(_JSONL_READ_SCHEMA).json(path)
+    df = raw.select(
+        "url",
+        "warc_ts",
+        F.unbase64("html_b64").alias("html"),
+        "text",
+        "lang",
+    )
+    validate_pages_schema(df)
+    return df
+
+
+def write_pages_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """Inverse of read_pages_jsonl (fixtures/exports)."""
+    from pyspark.sql import functions as F
+
+    df.select(
+        "url", "warc_ts", F.base64("html").alias("html_b64"), "text", "lang"
+    ).write.mode(mode).json(path)
+
+
 def write_pages(df: DataFrame, target: str, *, mode: str = "overwrite") -> None:
     """Write a pages table: Iceberg ``writeTo`` when the target is a catalog
     table, parquet otherwise (sandbox path)."""
