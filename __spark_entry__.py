@@ -263,7 +263,7 @@ def q_filter_nonempty_by_lang(spark, sf_dir):
 
 _ORACLE_NONEMPTY = """
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN length(trim(text)) > 0 THEN 1 ELSE 0 END) AS n_nonempty
+       CAST(sum(CASE WHEN length(trim(text)) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonempty
 FROM documents GROUP BY lang
 """
 
@@ -790,7 +790,11 @@ def q_multimodal_decode_fake(spark, sf_dir):
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         "gray_mean_milli",
-        F.col("pixels_sampled").cast("array<long>").alias("pixels_sampled"),
+        # Serialized (not array<long>): the driver's canonicalizer sorts
+        # result columns with pandas and dies on list-valued cells.
+        F.array_join(F.col("pixels_sampled").cast("array<string>"), ",").alias(
+            "pixels_csv"
+        ),
     )
 
 
@@ -805,7 +809,7 @@ SELECT media_id,
        CAST(media_id % 64 + 1 AS BIGINT) AS width,
        CAST(media_id % 48 + 1 AS BIGINT) AS height,
        CAST(list_sum(bs) * 1000 // 64 AS BIGINT) AS gray_mean_milli,
-       [CAST(x AS BIGINT) for x in list_slice(bs, 1, 8)] AS pixels_sampled
+       array_to_string([CAST(x AS BIGINT) for x in list_slice(bs, 1, 8)], ',') AS pixels_csv
 FROM b
 """
 
@@ -935,7 +939,7 @@ def q_events_hourly(spark, sf_dir):
 _ORACLE_EVENTS_HOURLY = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
-       sum(CAST(floor(value * 1000000) AS BIGINT)) AS sum_value_micros
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros
 FROM events
 GROUP BY 1, 2
 """
@@ -1102,6 +1106,155 @@ def q_extraction_pipeline(spark, sf_dir):
     )
 
 
+def q_extract_ocr_fields(spark, sf_dir):
+    """F11–F13 (OCR-path classifier + stateful fold + empty-page drop),
+    value-checked: pages are constructed so every line's fate under the
+    state machine [pdfextraction.py:72-91] is guaranteed analytically.
+
+    Per document, page 1 is:
+        preamble dropped 123     (digit, before first field -> DROPPED)
+        Header Alpha             (<=5 words, no digit -> field)
+        value one 1              (digit -> appended to Header Alpha)
+        value two 2              (digit -> appended with ' ')
+        Header <lang>            (no digit -> new field; langs are [a-z]+)
+        row <doc_id>             (digit -> its value)
+        Header Alpha             (repeat -> RESETS value, keeps position)
+        reset <n_chars>          (digit -> new value)
+    so the page dict is exactly [(Header Alpha, reset <n_chars>),
+    (Header <lang>, row <doc_id>)].  Page 2 is whitespace-only and page 3
+    has only value lines — both yield empty dicts and are dropped (F13).
+    """
+    from pdf_extraction_spark.operators.extract import extract_documents
+
+    d = _load(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    page1 = F.concat(
+        F.lit("preamble dropped 123"), nl,
+        F.lit("Header Alpha"), nl,
+        F.lit("value one 1"), nl,
+        F.lit("value two 2"), nl,
+        F.lit("Header "), F.col("lang"), nl,
+        F.lit("row "), F.col("doc_id").cast("string"), nl,
+        F.lit("Header Alpha"), nl,
+        F.lit("reset "), F.col("n_chars").cast("string"),
+    )
+    text = F.concat(
+        page1,
+        F.lit("\x0c   \n\t\x0conly value lines 99\nand another 7"),
+    )
+    pages = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("binary").alias("html"),
+        text.alias("text"),
+    )
+    out = extract_documents(pages)
+    return (
+        out.select(
+            F.col("url").cast("long").alias("doc_id"),
+            F.size("page_fields").cast("long").alias("n_pages_with_fields"),
+            F.posexplode("page_fields").alias("page_idx", "pf"),
+        )
+        .select(
+            "doc_id",
+            "n_pages_with_fields",
+            F.col("page_idx").cast("long").alias("page_idx"),
+            F.posexplode("pf").alias("ord", "kv"),
+        )
+        .select(
+            "doc_id",
+            "n_pages_with_fields",
+            "page_idx",
+            F.col("ord").cast("long").alias("ord"),
+            F.col("kv.field").alias("field"),
+            F.col("kv.value").alias("value"),
+        )
+    )
+
+
+_ORACLE_OCR_FIELDS = """
+WITH e AS (
+  SELECT doc_id, 0 AS ord, 'Header Alpha' AS field,
+         'reset ' || CAST(n_chars AS VARCHAR) AS value
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1 AS ord, 'Header ' || lang AS field,
+         'row ' || CAST(doc_id AS VARCHAR) AS value
+  FROM documents
+)
+SELECT doc_id, CAST(1 AS BIGINT) AS n_pages_with_fields,
+       CAST(0 AS BIGINT) AS page_idx, CAST(ord AS BIGINT) AS ord,
+       field, value
+FROM e
+"""
+
+
+def q_extract_errors(spark, sf_dir):
+    """F18 per-document error containment, value-checked: the kernel's
+    ``max_doc_chars`` input-size guard raises deterministically for
+    oversize documents (message embeds the measured length), the
+    containment path routes it onto the ``error`` column, and the oracle
+    reconstructs the exact error string from ``length(text)``."""
+    from pdf_extraction_spark.operators.extract import extract_documents
+
+    d = _load(spark, sf_dir, "documents")
+    pages = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text").alias("text"),
+    )
+    out = extract_documents(pages, max_doc_chars=200)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "doc_kind",
+        F.col("error").isNotNull().alias("failed"),
+        "error",
+    )
+
+
+_ORACLE_EXTRACT_ERRORS = """
+SELECT doc_id,
+       CASE WHEN length(text) > 200 THEN 'error' ELSE 'text' END AS doc_kind,
+       length(text) > 200 AS failed,
+       CASE WHEN length(text) > 200
+            THEN 'ValueError: document exceeds max_doc_chars=200 ('
+                 || CAST(length(text) AS VARCHAR) || ')'
+            ELSE NULL END AS error
+FROM documents
+"""
+
+
+def q_llm_enrich_error(spark, sf_dir):
+    """F17 error-dict branch (app.py:80-81): generations whose prompt
+    exceeds the model's input budget fail onto ``error``; exactly one of
+    (generated_text, error) is non-null per document."""
+    from pdf_extraction_spark.operators.llm_stub import enrich_llm
+
+    d = _load(spark, sf_dir, "documents")
+    out = enrich_llm(d, "doc_id", "text", task="summarize", max_input_chars=500)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("prompt").cast("long").alias("prompt_len"),
+        F.col("generated_text").isNotNull().alias("generated"),
+        "error",
+    )
+
+
+_ORACLE_LLM_ERROR = """
+WITH p AS (
+  SELECT doc_id,
+         length('Task: summarize' || chr(10) || chr(10) || 'PDF Content:'
+                || chr(10) || substr(text, 1, 3000)) AS prompt_len
+  FROM documents
+)
+SELECT doc_id, CAST(prompt_len AS BIGINT) AS prompt_len,
+       prompt_len <= 500 AS generated,
+       CASE WHEN prompt_len > 500
+            THEN 'input too long: ' || CAST(prompt_len AS VARCHAR) || ' > 500 chars'
+            ELSE NULL END AS error
+FROM p
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extraction_pipeline(spark, DEFAULT_SF_DIR)
@@ -1119,6 +1272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_enrich_stub": q_llm_enrich_stub,
         "filter_nonempty_by_lang": q_filter_nonempty_by_lang,
         "extraction_pipeline": q_extraction_pipeline,
+        "extract_ocr_fields": q_extract_ocr_fields,
+        "extract_errors": q_extract_errors,
+        "llm_enrich_error": q_llm_enrich_error,
         # text analysis
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -1161,6 +1317,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_html_main": _ORACLE_HTML_MAIN,
         "llm_enrich_stub": _ORACLE_LLM_STUB,
         "filter_nonempty_by_lang": _ORACLE_NONEMPTY,
+        "extract_ocr_fields": _ORACLE_OCR_FIELDS,
+        "extract_errors": _ORACLE_EXTRACT_ERRORS,
+        "llm_enrich_error": _ORACLE_LLM_ERROR,
         # extraction_pipeline: kernel state machine — rows-only check
         "text_stats": _ORACLE_TEXT_STATS,
         "text_quality": _ORACLE_QUALITY,

@@ -186,7 +186,7 @@ def label_spans(extracted_text: str, fields):
 # Whole-document kernel: one input row -> one output record
 # ---------------------------------------------------------------------------
 
-def extract_document(url, html_bytes, text):
+def extract_document(url, html_bytes, text, max_doc_chars=None):
     """Per-document dispatch — the unit of work inside ``mapInPandas``.
 
     * HTML rows (``html_bytes`` is not None): boilerplate-strip to get the
@@ -196,6 +196,12 @@ def extract_document(url, html_bytes, text):
       ``\\x0c``; F4-fold the pages, run Direct extraction, and run the
       OCR-style state machine over the same pages.
 
+    ``max_doc_chars`` is a per-document input-size guard: a pathological
+    multi-GB document in a 10^12-doc crawl must fail onto the ``error``
+    column (F18) instead of stalling or OOMing its Python worker.  The
+    raised ValueError is deterministic (message embeds the measured size),
+    so the containment path is analytically checkable by the driver oracle.
+
     Errors are contained per document (F18, pdfextraction.py:32-40): the
     record carries ``error`` instead of failing the task.
     Returns (url, doc_kind, extracted_text, fields, page_fields, spans, error).
@@ -203,6 +209,11 @@ def extract_document(url, html_bytes, text):
     from pdf_extraction_spark.html_extract import extract_main_text
 
     try:
+        n_in = len(html_bytes) if html_bytes is not None else len(text or "")
+        if max_doc_chars is not None and n_in > max_doc_chars:
+            raise ValueError(
+                f"document exceeds max_doc_chars={max_doc_chars} ({n_in})"
+            )
         if html_bytes is not None:
             doc_kind = "html"
             extracted_text = extract_main_text(bytes(html_bytes))

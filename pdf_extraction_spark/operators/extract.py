@@ -57,7 +57,7 @@ def _pairs(items):
     return [{"field": f, "value": v} for f, v in items]
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches(batches: Iterator[pd.DataFrame], max_doc_chars=None) -> Iterator[pd.DataFrame]:
     # import inside the worker so the kernel module pickles by name
     from pdf_extraction_spark.kernel import extract_document
 
@@ -70,7 +70,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
         for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
             url, kind, etext, fields, page_fields, spans, err = extract_document(
-                url, html if html is not None else None, text
+                url, html if html is not None else None, text, max_doc_chars
             )
             c_url.append(url)
             c_kind.append(kind)
@@ -99,14 +99,19 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def extract_documents(pages: DataFrame) -> DataFrame:
+def extract_documents(pages: DataFrame, max_doc_chars: int | None = None) -> DataFrame:
     """pages(url, html, text, ...) -> extraction records (EXTRACT_SCHEMA).
 
     Selects only the three columns the kernel needs, so Catalyst prunes
     everything else (incl. `warc_ts`/`lang`) out of the source scan.
+    ``max_doc_chars``: per-document input-size cap; oversize documents land
+    on the ``error`` column (F18) instead of stalling a worker.
     """
+    import functools
+
+    fn = functools.partial(_extract_batches, max_doc_chars=max_doc_chars)
     return pages.select("url", "html", "text").mapInPandas(
-        _extract_batches, schema=EXTRACT_SCHEMA
+        fn, schema=EXTRACT_SCHEMA
     )
 
 

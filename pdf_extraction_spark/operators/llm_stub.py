@@ -27,6 +27,7 @@ LLM_SCHEMA = StructType(
         StructField("doc_id", StringType()),
         StructField("prompt", StringType()),
         StructField("generated_text", StringType()),
+        StructField("error", StringType()),
     ]
 )
 
@@ -38,35 +39,58 @@ def _stub_generate(task: str, prompt: str, truncated: str) -> str:
     return f"[stub:{tag}] {task}: {truncated[:64]}"
 
 
-def _llm_batches(task: str):
+def _llm_batches(task: str, max_input_chars=None):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pdf_extraction_spark.kernel import build_prompt, truncate_prompt
 
         for pdf in batches:
-            ids, prompts, outs = [], [], []
+            ids, prompts, outs, errs = [], [], [], []
             for doc_id, raw in zip(pdf["doc_id"], pdf["text"]):
                 raw = raw or ""
                 prompt = build_prompt(task, raw)          # F16 + assembly
                 ids.append(doc_id)
                 prompts.append(prompt)
-                outs.append(_stub_generate(task, prompt, truncate_prompt(raw)))
+                # Error-dict branch of the reference (app.py:80-81): a
+                # failed generation yields output["error"], not text.  The
+                # stub's failure predicate is deterministic: the hosted
+                # model rejects prompts above its context budget.
+                if max_input_chars is not None and len(prompt) > max_input_chars:
+                    outs.append(None)
+                    errs.append(
+                        f"input too long: {len(prompt)} > {max_input_chars} chars"
+                    )
+                else:
+                    outs.append(_stub_generate(task, prompt, truncate_prompt(raw)))
+                    errs.append(None)
             yield pd.DataFrame(
-                {"doc_id": ids, "prompt": prompts, "generated_text": outs}
+                {
+                    "doc_id": ids,
+                    "prompt": prompts,
+                    "generated_text": outs,
+                    "error": errs,
+                }
             )
 
     return fn
 
 
 def enrich_llm(
-    df: DataFrame, id_col: str, text_col: str, *, task: str = "summarize"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    task: str = "summarize",
+    max_input_chars: int | None = None,
 ) -> DataFrame:
-    """(id, prompt, generated_text) per document via the batched stub.
+    """(id, prompt, generated_text, error) per document via the batched stub.
 
     On a real cluster the per-batch loop becomes one batched HTTP request
     per Arrow batch — bounded fan-out to the inference service, retries
-    contained per batch, no per-row Python dispatch either way.
+    contained per batch, no per-row Python dispatch either way.  ``error``
+    mirrors the reference's API error-dict branch (app.py:80-81): exactly
+    one of (generated_text, error) is non-null per document.
     """
     src = df.select(
         F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
     )
-    return src.mapInPandas(_llm_batches(task), schema=LLM_SCHEMA)
+    return src.mapInPandas(_llm_batches(task, max_input_chars), schema=LLM_SCHEMA)
