@@ -447,32 +447,108 @@ FROM t GROUP BY dedup_key
 """
 
 
+def _dk_minhash_sig(num_perms: int) -> str:
+    """DuckDB twin of functions.text.minhash_signature over `hs` (pre-hashed
+    grams): same literal (a_p, b_p) coefficients, same prime."""
+    from pdf_extraction_spark.functions.text import MINHASH_PRIME, minhash_coeffs
+
+    mins = ", ".join(
+        f"list_min([(h * {a} + {b}) % {MINHASH_PRIME} for h in hs])"
+        for a, b in minhash_coeffs(num_perms)
+    )
+    return f"[{mins}]"
+
+
+_DK_HASH32 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS UBIGINT)::BIGINT"
+
+
+def _oracle_lsh_jaccard(
+    corpus_sql: str,
+    *,
+    n: int,
+    num_perms: int,
+    bands: int,
+    num_thr: int,
+    den_thr: int,
+    max_bucket: int,
+) -> str:
+    """DuckDB twin of operators.dedup.minhash_lsh_dedup_pairs: distinct
+    gram-hash sets -> minhash signature -> band keys -> bucket cap ->
+    candidate pairs -> exact Jaccard verify on the hash sets (hash sets
+    are distinct, so |A∪B| = |A| + |B| - |A∩B|)."""
+    r = num_perms // bands
+    inter = "len(list_intersect(ga.hs, gb.hs))"
+    union = f"(len(ga.hs) + len(gb.hs) - {inter})"
+    return f"""
+WITH corpus AS ({corpus_sql}),
+t AS (SELECT doc_id, {_DK_TOKS} AS toks FROM corpus),
+g AS (
+  SELECT doc_id,
+         list_distinct([{_DK_HASH32.format(x='gr')} for gr in {_dk_grams(n)}]) AS hs
+  FROM t WHERE len({_dk_grams(n)}) > 0
+),
+sig AS (SELECT doc_id, {_dk_minhash_sig(num_perms)} AS s FROM g),
+bands AS (
+  SELECT doc_id, unnest([md5(CAST(b AS VARCHAR) || ':' ||
+           array_to_string(list_transform(list_slice(s, b*{r}+1, b*{r}+{r}),
+                                          v -> CAST(v AS VARCHAR)), ','))
+         for b in range({bands})]) AS band_key
+  FROM sig
+),
+bands_capped AS (
+  SELECT doc_id, band_key FROM (
+    SELECT doc_id, band_key,
+           count(*) OVER (PARTITION BY band_key) AS bc
+    FROM bands
+  ) WHERE bc <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands_capped a
+  JOIN bands_capped b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST({inter} AS BIGINT) AS inter_size,
+       CAST({union} AS BIGINT) AS union_size
+FROM cand c
+JOIN g ga ON ga.doc_id = c.id_a
+JOIN g gb ON gb.doc_id = c.id_b
+WHERE {inter} * {den_thr} >= {union} * {num_thr}
+"""
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 2-gram Jaccard >= 1/10 within (lang, source) blocks.
+    """Exact 2-gram Jaccard (>= 1/10) as the VERIFIER behind MinHash-LSH
+    candidate discovery — the scale-safe composition.  Discovery never
+    enumerates block-quadratic pairs (the round-1 (lang, source)-blocked
+    discovery grew quadratically within blocks at 100x); candidates come
+    from bucketed LSH and only those pairs pay the exact-Jaccard check.
+    The corpus plants prefix-perturbed near-dups so the verify output is
+    non-trivially populated."""
+    from pdf_extraction_spark.operators.dedup import minhash_lsh_dedup_pairs
 
-    Blocking is deliberately fine-grained: the quadratic exact verify is
-    only scale-safe inside small blocks (LSH candidates or narrow keys);
-    coarse blocks (lang alone: 5 keys) give both O(n²/5) pairs and 5-way
-    parallelism — measured 195s vs ~2s at sf0.1."""
-    from pdf_extraction_spark.operators.dedup import ngram_jaccard_pairs
-
-    d = _load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
-        d, "doc_id", "text", n=2, block_cols=["lang", "source"],
-        num_threshold=1, den_threshold=10,
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = d.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.lit("prefix noise tokens "), F.col("text")).alias("text"),
+    )
+    corpus = d.unionByName(pert)
+    out = minhash_lsh_dedup_pairs(
+        corpus, "doc_id", "text", n=2, num_perms=16, bands=8,
+        num_threshold=1, den_threshold=10, max_bucket=64,
+    )
+    return out.select(
+        "id_a", "id_b",
+        F.col("inter_size").cast("long").alias("inter_size"),
+        F.col("union_size").cast("long").alias("union_size"),
     )
 
 
-_ORACLE_JACCARD = f"""
-WITH t AS (SELECT doc_id, lang, source, {_DK_TOKS} AS toks FROM documents),
-g AS (SELECT doc_id, lang, source, {_dk_grams(2)} AS grams FROM t WHERE len({_dk_grams(2)}) > 0)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter_size,
-       CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT) AS union_size
-FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.grams, b.grams)) * 10
-      >= len(list_distinct(list_concat(a.grams, b.grams))) * 1
-"""
+_ORACLE_JACCARD = _oracle_lsh_jaccard(
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 2000000, 'prefix noise tokens ' || text FROM documents",
+    n=2, num_perms=16, bands=8, num_thr=1, den_thr=10, max_bucket=64,
+)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -480,8 +556,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     corpus of base docs UNION near-duplicate perturbations.
 
     max_bucket=64 drops degenerate band buckets (one bucket held 834 of
-    10k docs at sf0.1 — 85% of all candidate pairs) before the self-join;
-    the oracle applies the identical cap with a window count."""
+    10k docs at sf0.1 — 85% of all candidate pairs) before pair expansion;
+    the oracle applies the identical cap with a window count.  Verify
+    compares the md5-hashed gram sets (array<long>) — same candidate set,
+    smaller shuffle payload than the round-1 string-gram compare."""
     from pdf_extraction_spark.operators.dedup import minhash_lsh_dedup_pairs
 
     d = _load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -501,64 +579,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-def _dk_minhash_sig(num_perms: int) -> str:
-    """DuckDB twin of functions.text.minhash_signature over `hs` (pre-hashed
-    grams): same literal (a_p, b_p) coefficients, same prime."""
-    from pdf_extraction_spark.functions.text import MINHASH_PRIME, minhash_coeffs
-
-    mins = ", ".join(
-        f"list_min([(h * {a} + {b}) % {MINHASH_PRIME} for h in hs])"
-        for a, b in minhash_coeffs(num_perms)
-    )
-    return f"[{mins}]"
-
-
-_DK_HASH32 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS UBIGINT)::BIGINT"
-
-_ORACLE_MINHASH = f"""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000, text || ' zz yy xx ww vv' FROM documents
-),
-t AS (SELECT doc_id, {_DK_TOKS} AS toks FROM corpus),
-g AS (SELECT doc_id, {_dk_grams(3)} AS grams FROM t WHERE len({_dk_grams(3)}) > 0),
-hs AS (
-  SELECT doc_id, grams, [{_DK_HASH32.format(x='gr')} for gr in grams] AS hs
-  FROM g
-),
-sig AS (
-  SELECT doc_id, grams, {_dk_minhash_sig(16)} AS s
-  FROM hs
-),
-bands AS (
-  SELECT doc_id, unnest([md5(CAST(b AS VARCHAR) || ':' ||
-           array_to_string(list_transform(list_slice(s, b*2+1, b*2+2),
-                                          v -> CAST(v AS VARCHAR)), ','))
-         for b in range(8)]) AS band_key
-  FROM sig
-),
-bands_capped AS (
-  SELECT doc_id, band_key FROM (
-    SELECT doc_id, band_key,
-           count(*) OVER (PARTITION BY band_key) AS bc
-    FROM bands
-  ) WHERE bc <= 64
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands_capped a
-  JOIN bands_capped b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+_ORACLE_MINHASH = _oracle_lsh_jaccard(
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000, text || ' zz yy xx ww vv' FROM documents",
+    n=3, num_perms=16, bands=8, num_thr=1, den_thr=2, max_bucket=64,
 )
-SELECT c.id_a, c.id_b,
-       CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS inter_size,
-       CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS BIGINT) AS union_size
-FROM cand c
-JOIN g ga ON ga.doc_id = c.id_a
-JOIN g gb ON gb.doc_id = c.id_b
-WHERE len(list_intersect(ga.grams, gb.grams)) * 2
-      >= len(list_distinct(list_concat(ga.grams, gb.grams))) * 1
-"""
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -615,13 +640,40 @@ FROM f
 """
 
 
-def q_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs (cosine >= 0.80) within same-label blocks."""
-    from pdf_extraction_spark.operators.dedup import embedding_near_dup_pairs
+def _dk_lsh_bucket(vec: str, num_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of operators.similarity.lsh_bucket: re-derives the ±1
+    hyperplane matrix from md5 in SQL (bit 0 of the 60-bit md5-prefix of
+    'p|<p>|d|<d>'), proving the quantizer is engine-portable from its seed
+    string alone.  Left-fold float sums match Spark's aggregate order."""
+    w = (
+        "(CASE WHEN CAST(('0x' || substr(md5('p|' || CAST(p AS VARCHAR) "
+        "|| '|d|' || CAST(d AS VARCHAR)), 1, 15)) AS UBIGINT) & 1 = 1 "
+        "THEN 1.0 ELSE -1.0 END)"
+    )
+    dot = (
+        f"list_reduce([CAST({vec}[d+1] AS DOUBLE) * {w} "
+        f"for d in range({dim})], (x, y) -> x + y)"
+    )
+    return (
+        f"CAST(list_sum([CASE WHEN {dot} > 0 THEN (1 << p) ELSE 0 END "
+        f"for p in range({num_planes})]) AS INT)"
+    )
 
-    e = _load(spark, sf_dir, "embeddings")
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs (cosine >= 0.25) blocked on the COMPUTED
+    hyperplane-LSH bucket — the 100 TB shape: the quadratic check runs
+    only within quantizer cells (256 buckets at 8 planes), not within
+    coarse ground-truth labels (the round-1 block key, which at 100x the
+    data meant quadratic growth inside each of only a handful of blocks)."""
+    from pdf_extraction_spark.operators.dedup import embedding_near_dup_pairs
+    from pdf_extraction_spark.operators.similarity import lsh_bucket
+
+    e = _load(spark, sf_dir, "embeddings").withColumn(
+        "lsh_blk", lsh_bucket(F.col("embedding"), num_planes=8, dim=64)
+    )
     return embedding_near_dup_pairs(
-        e, "vec_id", "embedding", threshold=0.25, block_col="label"
+        e, "vec_id", "embedding", threshold=0.25, block_col="lsh_blk"
     )
 
 
@@ -631,9 +683,10 @@ _DK_DOT = (
 )
 
 _ORACLE_EMB_NEARDUP = f"""
-WITH v AS (SELECT vec_id, embedding, label FROM embeddings)
+WITH v AS (SELECT vec_id, embedding, {_dk_lsh_bucket('embedding')} AS lsh_blk
+           FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM v a JOIN v b ON a.lsh_blk = b.lsh_blk AND a.vec_id < b.vec_id
 WHERE {_DK_DOT.format(a='a.embedding', b='b.embedding')}
       / (sqrt({_DK_DOT.format(a='a.embedding', b='a.embedding')})
          * sqrt({_DK_DOT.format(a='b.embedding', b='b.embedding')})) >= 0.25
@@ -692,6 +745,44 @@ scored AS (
          / (sqrt({_DK_DOT.format(a='q_vec', b='q_vec')})
             * sqrt({_DK_DOT.format(a='n_vec', b='n_vec')})) AS cos
   FROM v JOIN q USING (label) WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def q_similarity_lsh_bucketed(spark, sf_dir):
+    """ANN top-5 within the query's COMPUTED hyperplane-LSH bucket — the
+    scale path exercised with a real quantizer instead of the ground-truth
+    `label` column: lsh_bucket (md5-seeded ±1 planes, no stored model)
+    assigns each vector a 16-cell bucket; the broadcast bucket-join prunes
+    candidates to the query's cell."""
+    from pdf_extraction_spark.operators.similarity import bucketed_topk, lsh_bucket
+
+    e = _load(spark, sf_dir, "embeddings").withColumn(
+        "lsh_blk", lsh_bucket(F.col("embedding"), num_planes=4, dim=64)
+    )
+    out = bucketed_topk(
+        e, e.filter(F.col("vec_id") < 8), bucket_col="lsh_blk", k=5
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_ORACLE_TOPK_LSH = f"""
+WITH v0 AS (SELECT vec_id, embedding, {_dk_lsh_bucket('embedding', num_planes=4)} AS lsh_blk
+            FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec, lsh_blk FROM v0 WHERE vec_id < 8),
+v AS (SELECT vec_id AS neighbor_id, embedding AS n_vec, lsh_blk FROM v0),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_DK_DOT.format(a='q_vec', b='n_vec')}
+         / (sqrt({_DK_DOT.format(a='q_vec', b='q_vec')})
+            * sqrt({_DK_DOT.format(a='n_vec', b='n_vec')})) AS cos
+  FROM v JOIN q USING (lsh_blk) WHERE query_id <> neighbor_id
 )
 SELECT query_id, neighbor_id,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
@@ -1255,6 +1346,71 @@ FROM p
 """
 
 
+def q_csv_export_bytes(spark, sf_dir):
+    """F14+F15 — the reference's exact download bytes, driver-checked:
+    a bounded slice (doc_id < 20, the edge-export regime the reference
+    operates in) runs kernel KV extraction, serializes each document
+    through records_to_csv_bytes (pandas to_csv semantics: union-of-keys
+    header, UTF-8 WITHOUT BOM, '\\n' terminator incl. trailing), and emits
+    md5 + byte length of the real bytes.  The oracle constructs the
+    expected CSV string analytically (values are sanitized of
+    [",\\r\\n] at page-construction time so pandas QUOTE_MINIMAL adds no
+    quoting) and hashes it in DuckDB."""
+    import hashlib
+
+    from pdf_extraction_spark.operators.extract import extract_documents
+    from pdf_extraction_spark.plans.csv_export import records_to_csv_bytes
+
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    body = F.regexp_replace(
+        F.expr("substring(text, 1, 80)"), r'["\r\n,]', ""
+    )
+    nl = F.lit("\n")
+    page = F.concat(
+        F.lit("Title: "), F.col("source"), F.lit(" report "),
+        F.col("doc_id").cast("string"), nl,
+        F.lit("Lang: "), F.col("lang"), nl,
+        F.lit("plain line without separator"), nl,
+        F.lit("Time: 12:30:45"), nl,
+        F.lit("Body: "), body, nl,
+        F.lit("Chars: "), F.col("n_chars").cast("string"), nl,
+        F.lit("Lang: "), F.col("lang"), F.lit("-dup"),
+    )
+    pages = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("binary").alias("html"),
+        page.alias("text"),
+    )
+    rows = extract_documents(pages).select("url", "fields").collect()
+    out = []
+    for r in sorted(rows, key=lambda r: int(r["url"])):
+        pairs = [(p["field"], p["value"]) for p in r["fields"]]
+        csv = records_to_csv_bytes([pairs])
+        out.append((int(r["url"]), hashlib.md5(csv).hexdigest(), len(csv)))
+    return spark.createDataFrame(out, "doc_id long, csv_md5 string, n_bytes long")
+
+
+_ORACLE_CSV_BYTES = r"""
+WITH d AS (
+  SELECT doc_id,
+         source || ' report ' || CAST(doc_id AS VARCHAR) AS v_title,
+         lang || '-dup' AS v_lang,
+         trim(regexp_replace(substr(text, 1, 80), '["\r\n,]', '', 'g')) AS v_body,
+         CAST(n_chars AS VARCHAR) AS v_chars
+  FROM documents WHERE doc_id < 20
+),
+c AS (
+  SELECT doc_id,
+         'Title,Lang,Time,Body,Chars' || chr(10) ||
+         v_title || ',' || v_lang || ',12:30:45,' || v_body || ',' || v_chars
+         || chr(10) AS csv
+  FROM d
+)
+SELECT doc_id, md5(csv) AS csv_md5, CAST(strlen(csv) AS BIGINT) AS n_bytes
+FROM c
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_extraction_pipeline(spark, DEFAULT_SF_DIR)
@@ -1275,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_ocr_fields": q_extract_ocr_fields,
         "extract_errors": q_extract_errors,
         "llm_enrich_error": q_llm_enrich_error,
+        "csv_export_bytes": q_csv_export_bytes,
         # text analysis
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -1291,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "similarity_topk": q_similarity_topk,
         "similarity_topk_bucketed": q_similarity_topk_bucketed,
+        "similarity_lsh_bucketed": q_similarity_lsh_bucketed,
         # multimodal (binary columns; pixel decode stubbed per SURVEY §7)
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_byte_features": q_multimodal_byte_features,
@@ -1320,6 +1478,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_ocr_fields": _ORACLE_OCR_FIELDS,
         "extract_errors": _ORACLE_EXTRACT_ERRORS,
         "llm_enrich_error": _ORACLE_LLM_ERROR,
+        "csv_export_bytes": _ORACLE_CSV_BYTES,
         # extraction_pipeline: kernel state machine — rows-only check
         "text_stats": _ORACLE_TEXT_STATS,
         "text_quality": _ORACLE_QUALITY,
@@ -1334,6 +1493,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _ORACLE_EMB_NEARDUP,
         "similarity_topk": _ORACLE_TOPK,
         "similarity_topk_bucketed": _ORACLE_TOPK_BUCKET,
+        "similarity_lsh_bucketed": _ORACLE_TOPK_LSH,
         "multimodal_metadata": _ORACLE_MM_META,
         "multimodal_byte_features": _ORACLE_MM_BYTES,
         "multimodal_frame_sample": _ORACLE_MM_FRAMES,

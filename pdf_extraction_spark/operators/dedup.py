@@ -102,6 +102,21 @@ def ngram_jaccard_pairs(
     )
 
 
+def _hashed_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(_id, hs) — distinct n-gram set as ``array<long>`` md5-prefix hashes.
+
+    Each gram is hashed ONCE; everything downstream (signatures, Jaccard
+    verify) runs on long arithmetic.  Longs also shrink the verify-join
+    shuffle payload vs shipping the gram strings (~8 bytes vs ~n words)."""
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        word_ngrams(tokens(F.col(text_col)), n).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    return grams.select(
+        "_id", F.array_distinct(F.transform("grams", hash32)).alias("hs")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -114,50 +129,55 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs: (id_a, id_b), id_a < id_b.
 
-    shingle -> minhash -> band -> bucket-join.  At scale: signatures and
-    band keys are computed per-row (no shuffle); posexplode to (band_key)
-    rows; self-join shuffles on band_key only.  distinct() collapses pairs
-    that collide in several bands.  ``max_bucket`` (strongly recommended at
-    scale) drops band buckets larger than the cap before pair generation —
-    a degenerate bucket of k docs otherwise emits k^2/2 pairs.
+    shingle -> minhash -> band -> bucket -> in-bucket pair expansion.
+    At scale: signatures and band keys are per-row JVM expressions (no
+    shuffle); candidates come from ONE shuffle — groupBy(band_key) with a
+    collect_list of doc ids — after which the pairs are expanded inside
+    the JVM from each bucket's sorted id array.  ``max_bucket`` (strongly
+    recommended at scale) drops degenerate buckets right at the aggregate:
+    a bucket of k docs otherwise emits k^2/2 pairs.  distinct() collapses
+    pairs that collide in several bands (second, pair-sized shuffle).
     """
-    grams = df.select(
-        F.col(id_col).alias("_id"),
-        word_ngrams(tokens(F.col(text_col)), n).alias("grams"),
-    ).filter(F.size("grams") > 0)
-    return _lsh_candidates_from_grams(grams, num_perms, bands, max_bucket)
+    return _lsh_candidates_from_hashes(
+        _hashed_grams(df, id_col, text_col, n), num_perms, bands, max_bucket
+    )
 
 
-def _lsh_candidates_from_grams(
-    grams: DataFrame, num_perms: int, bands: int, max_bucket: int | None = None
+def _lsh_candidates_from_hashes(
+    hashed: DataFrame, num_perms: int, bands: int, max_bucket: int | None = None
 ) -> DataFrame:
-    from pyspark.sql import Window
-
     rows_per_band = num_perms // bands
-    # Hash each gram ONCE into array<long> in its own projection, then build
-    # the signature from the hashes (per-perm arithmetic only — no repeated
-    # md5).  Materialize the (id, band_key) rows so the self-join does not
-    # recompute the signature per side.
-    hashed = grams.select("_id", F.transform("grams", hash32).alias("_hashes"))
     sig = hashed.select(
         "_id",
         F.explode(
             band_keys(
-                minhash_signature(F.col("_hashes"), num_perms), bands, rows_per_band
+                minhash_signature(F.col("hs"), num_perms), bands, rows_per_band
             )
         ).alias("band_key"),
     )
+    buckets = (
+        sig.groupBy("band_key")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     if max_bucket is not None:
-        # one count-window over the band partitioning (same shuffle the
-        # self-join needs anyway); degenerate buckets never reach the join
-        bc = F.count("*").over(Window.partitionBy("band_key"))
-        sig = sig.withColumn("_bc", bc).filter(F.col("_bc") <= max_bucket).drop("_bc")
-    sig = sig.persist()
-    a = sig.alias("a")
-    b = sig.alias("b")
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    # expand each bucket's sorted ids to (id_a < id_b) pairs JVM-side; the
+    # single-branch plan computes signatures exactly once (the former
+    # self-join evaluated them per side or needed a persist+leak)
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -176,18 +196,24 @@ def minhash_lsh_dedup_pairs(
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified by exact Jaccard.
 
-    Verification joins the candidate pairs back to the gram sets — the
-    quadratic check runs on candidates only (the 100 TB-safe shape).
+    Verification joins the candidate pairs back to the *hashed* gram sets —
+    the quadratic check runs on candidates only, comparing long arrays
+    (smaller shuffle payload + cheaper compares than gram strings).  The
+    gram projection is deliberately NOT persisted: it is a map-only
+    recompute, and at 100 TB caching the intermediate costs more (spill
+    I/O + a leaked storage pool in a long-lived session) than re-running
+    a scan-local projection on the two verify-join branches.
     """
-    grams = df.select(
-        F.col(id_col).alias("_id"),
-        word_ngrams(tokens(F.col(text_col)), n).alias("grams"),
-    ).filter(F.size("grams") > 0).persist()
-    cand = _lsh_candidates_from_grams(grams, num_perms, bands, max_bucket)
-    ga = grams.select(F.col("_id").alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = grams.select(F.col("_id").alias("id_b"), F.col("grams").alias("grams_b"))
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = F.size(F.array_union("grams_a", "grams_b"))
+    hashed = _hashed_grams(df, id_col, text_col, n)
+    cand = _lsh_candidates_from_hashes(hashed, num_perms, bands, max_bucket)
+    ga = hashed.select(
+        F.col("_id").alias("id_a"), F.col("hs").alias("hs_a"), F.size("hs").alias("sz_a")
+    )
+    gb = hashed.select(
+        F.col("_id").alias("id_b"), F.col("hs").alias("hs_b"), F.size("hs").alias("sz_b")
+    )
+    # hash sets are distinct, so |A∪B| = |A| + |B| - |A∩B| — one array pass
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
     return (
         cand.join(ga, "id_a")
         .join(gb, "id_b")
@@ -195,7 +221,7 @@ def minhash_lsh_dedup_pairs(
             "id_a",
             "id_b",
             inter.alias("inter_size"),
-            union.alias("union_size"),
+            (F.col("sz_a") + F.col("sz_b") - inter).alias("union_size"),
         )
         .filter(
             F.col("inter_size") * den_threshold >= F.col("union_size") * num_threshold

@@ -17,7 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pdf_extraction_spark.functions.text import hash60
 from pdf_extraction_spark.functions.vectors import cosine
 
 
@@ -96,38 +95,48 @@ def bucketed_topk(
     )
 
 
+def plane_weights(num_planes: int, dim: int) -> list[list[float]]:
+    """±1 hyperplane weights, derived from md5 at plan-build time.
+
+    Plane p's weight for dimension d is +1 if bit 0 of the 60-bit
+    md5-prefix hash of 'p|<p>|d|<d>' (== functions.text.hash60 semantics),
+    else -1 — deterministic and engine-portable with no stored model: the
+    DuckDB oracle re-derives the same matrix from md5 in SQL, proving the
+    quantizer is reproducible across engines from its seed string alone.
+    """
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"p|{p}|d|{d}".encode()).hexdigest()[:15], 16) & 1
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
 def lsh_bucket(vec_col, num_planes: int = 8, dim: int = 64):
     """Random-hyperplane LSH bucket id (0 .. 2^num_planes - 1).
 
-    Plane p's weight for dimension d is +1 if bit 0 of
-    hash60('p|<p>|d|<d>') else -1 — deterministic, engine-portable, no
-    stored model.  Bucket bit p = (dot(vec, plane_p) > 0).
+    Bucket bit p = (dot(vec, plane_p) > 0).  The ±1 plane matrix is a
+    compile-time constant (see plane_weights), so the per-row work is
+    num_planes zip_with/fold passes of plain double arithmetic — no
+    runtime hashing (the naive form pays num_planes*dim md5 calls PER ROW).
+    Float determinism: the fold is left-to-right from 0.0, which matches
+    DuckDB's list_reduce element order bit-for-bit.
     """
-    def plane_dot(p):
-        return F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda d: F.element_at(vec_col, d + 1).cast("double")
-                * F.when(
-                    hash60(
-                        F.concat(
-                            F.lit("p|"),
-                            p.cast("string"),
-                            F.lit("|d|"),
-                            d.cast("string"),
-                        )
-                    ).bitwiseAND(F.lit(1))
-                    == 1,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
+    bucket = F.lit(0)
+    for p, row in enumerate(plane_weights(num_planes, dim)):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(w) for w in row]),
+                lambda v, w: v.cast("double") * w,
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(num_planes - 1)),
-        F.lit(0),
-        lambda acc, p: acc
-        + F.when(plane_dot(p) > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0)),
-    )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket

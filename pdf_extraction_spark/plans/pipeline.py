@@ -56,10 +56,10 @@ def committed_groups(out_path: str) -> set[int]:
     return out
 
 
-def result_checksum(result: DataFrame):
-    """(row_count, order-independent checksum) over the semantic columns."""
-    row = result.agg(
-        F.count("*").alias("n"),
+def _checksum_exprs():
+    """(count, order-independent xxhash64-xor) over the semantic columns."""
+    return [
+        F.count(F.lit(1)).alias("n"),
         F.bit_xor(
             F.xxhash64(
                 "url",
@@ -69,7 +69,12 @@ def result_checksum(result: DataFrame):
                 F.coalesce("error", F.lit("\x00null")),
             )
         ).alias("checksum"),
-    ).collect()[0]
+    ]
+
+
+def result_checksum(result: DataFrame):
+    """(row_count, order-independent checksum) over the semantic columns."""
+    row = result.agg(*_checksum_exprs()).collect()[0]
     return int(row["n"]), int(row["checksum"] or 0)
 
 
@@ -130,11 +135,18 @@ def run_extraction(
         result = extract_documents(
             salted_repartition(group_pages, num_partitions, salt_buckets)
         )
+        # checksum on the WRITE path via observed metrics — at 100 TB,
+        # re-reading the committed output just to checksum it doubles
+        # output I/O per commit group
+        from pyspark.sql import Observation
+
+        obs = Observation(f"group-{g}-checksum")
+        result = result.observe(obs, *_checksum_exprs())
         group_dir = os.path.join(out_path, f"group={g}")
         result.write.mode("overwrite").parquet(group_dir)
 
-        out_df = spark.read.parquet(group_dir)
-        n_rows, checksum = result_checksum(out_df)
+        metrics = obs.get  # blocks only until the finished write's metrics land
+        n_rows, checksum = int(metrics["n"]), int(metrics["checksum"] or 0)
         manifest = {
             "group": g,
             "n_rows": n_rows,
