@@ -400,13 +400,23 @@ def _render(title, blocks) -> str:
 # ---------------------------------------------------------------------------
 
 _BOMS = (
+    # utf-8-sig / utf-16 codecs CONSUME their BOM, so U+FEFF never leaks
+    # into the first text block (utf-16-le/-be would keep it)
     (b"\xef\xbb\xbf", "utf-8-sig"),
-    (b"\xff\xfe", "utf-16-le"),
-    (b"\xfe\xff", "utf-16-be"),
+    (b"\xff\xfe", "utf-16"),
+    (b"\xfe\xff", "utf-16"),
 )
 # HTML5-style prescan: a charset declaration in the first 1024 bytes,
-# either <meta charset=X> or <meta http-equiv=... content="...; charset=X">
-_META_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-:.]+)", re.I)
+# anchored to a <meta ...> tag context — either <meta charset=X> or
+# <meta http-equiv=... content="...; charset=X">.  An unanchored
+# 'charset=' also matches URLs / scripts / comments (common in crawls).
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-:.]+)", re.I
+)
+# HTML5 prescan §13.2.3.2: a prescanned utf-16 family declaration is
+# remapped to utf-8 — the ASCII-readable <meta> itself proves the body is
+# not utf-16, and honoring the mis-declaration yields CJK mojibake.
+_UTF16_FAMILY = {"utf-16", "utf16", "utf-16-le", "utf-16le", "utf-16-be", "utf-16be"}
 
 
 def detect_charset(html_bytes: bytes) -> str | None:
@@ -420,6 +430,8 @@ def detect_charset(html_bytes: bytes) -> str | None:
     m = _META_CHARSET_RE.search(html_bytes[:1024])
     if m:
         name = m.group(1).decode("ascii", "replace")
+        if name.lower() in _UTF16_FAMILY:
+            return "utf-8"
         try:
             codecs.lookup(name)
             return name

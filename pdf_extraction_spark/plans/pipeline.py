@@ -97,14 +97,16 @@ def run_extraction(
     ``input_format``: "parquet" (Iceberg/parquet table) or "jsonl"
     (crawl-dump interchange; html carried as base64).
     """
-    from pdf_extraction_spark.sources.pages import read_pages_jsonl
+    from pdf_extraction_spark.sources.pages import read_pages, read_pages_jsonl
 
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     if input_format == "jsonl":
         pages = read_pages_jsonl(spark, pages_path)
     else:
-        pages = spark.read.parquet(pages_path)
+        # read_pages enforces the documented fail-fast schema contract on
+        # the primary path too (catalog table or parquet)
+        pages = read_pages(spark, pages_path)
     done = committed_groups(out_path) if resume else set()
     summary = {"groups": groups, "skipped": sorted(done), "committed": []}
     committed_count = 0

@@ -48,12 +48,19 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
     to parquet so local tests and cluster runs share one entry point.
     """
     if "/" not in source:
+        from pyspark.errors import AnalysisException
+
+        df = None
         try:
             df = spark.read.table(source)
+        except AnalysisException:
+            # no such catalog table -> try the parquet path below; a real
+            # schema-contract violation (ValueError from validation) must
+            # NOT be silently retried as parquet
+            pass
+        if df is not None:
             validate_pages_schema(df)
             return df
-        except Exception:
-            pass
     df = spark.read.parquet(source)
     validate_pages_schema(df)
     return df

@@ -181,11 +181,72 @@ def test_charset_detection():
     out = extract_main_text(bom)
     assert out == extract_main_text_spec(bom) and "﻿" not in out
 
-    u16 = "<p>utf sixteen page: kept</p>".encode("utf-16-le")
-    assert detect_charset(b"\xff\xfe" + u16) == "utf-16-le"
+    # BOM'd UTF-16: the 'utf-16' codec consumes the BOM, so U+FEFF must not
+    # leak into the first block (utf-16-le/-be codecs would keep it)
+    u16 = "<p>utf sixteen page text: kept</p>".encode("utf-16-le")
+    assert detect_charset(b"\xff\xfe" + u16) == "utf-16"
+    out16 = extract_main_text(b"\xff\xfe" + u16)
+    assert out16 == extract_main_text_spec(b"\xff\xfe" + u16)
+    assert "﻿" not in out16 and "utf sixteen page text: kept" in out16
+    be = "<p>big endian page text: kept</p>".encode("utf-16-be")
+    assert detect_charset(b"\xfe\xff" + be) == "utf-16"
+    assert "big endian page text: kept" in extract_main_text(b"\xfe\xff" + be)
 
     bogus = b'<meta charset="no-such-codec"><p>fallback block: kept</p>'
     assert detect_charset(bogus) is None
     assert extract_main_text(bogus) == extract_main_text_spec(bogus)
 
     assert detect_charset(b"<p>plain</p>") is None
+
+
+def test_charset_prescan_hardening():
+    """HTML5-prescan edge cases from crawl data (ADVICE round 1)."""
+    from pdf_extraction_spark.html_extract import detect_charset
+
+    # a mis-declared utf-16 <meta> on an ASCII/UTF-8 body: the readable
+    # meta itself proves the body is not utf-16 -> remap to utf-8
+    lying = b"<meta charset=utf-16><p>real utf-8 body stays readable: kept</p>"
+    assert detect_charset(lying) == "utf-8"
+    out = extract_main_text(lying)
+    assert out == extract_main_text_spec(lying)
+    assert "real utf-8 body stays readable: kept" in out
+    for variant in (b"utf-16le", b"UTF-16BE", b"utf16"):
+        assert detect_charset(b'<meta charset="' + variant + b'">') == "utf-8"
+
+    # 'charset=' outside a <meta> tag (URLs, scripts, comments) is ignored
+    url = (
+        b'<a href="/page?charset=koi8-r">link text</a>'
+        b"<p>body long enough to keep as a block yes</p>"
+    )
+    assert detect_charset(url) is None
+    comment = b"<!-- charset=koi8-r --><p>commented decl ignored block: kept</p>"
+    assert detect_charset(comment) is None
+    script = (
+        b'<script>var u="x?charset=koi8-r";</script>'
+        b"<p>script decl ignored block here: kept</p>"
+    )
+    assert detect_charset(script) is None
+
+    # ...but both <meta charset=X> and http-equiv content forms still work
+    assert detect_charset(b'<meta charset="koi8-r">') == "koi8-r"
+    assert (
+        detect_charset(
+            b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=koi8-r">'
+        )
+        == "koi8-r"
+    )
+
+
+def test_interpreter_pin_for_scanner_spec():
+    """The fast scanner hand-mirrors CPython 3.11 html.parser internals;
+    tolerant-parsing behavior changed in 3.12/3.13 security releases.  On
+    an interpreter bump: re-run test_html_fast + test_html_property on the
+    new interpreter, reconcile any divergence, then move this pin."""
+    import sys
+
+    assert sys.version_info[:2] == (3, 11), (
+        "html_extract fast scanner is validated against CPython 3.11's "
+        "html.parser; re-run the differential suites on this interpreter "
+        "and update the pin"
+    )
