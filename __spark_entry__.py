@@ -533,8 +533,12 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         F.concat(F.lit("prefix noise tokens "), F.col("text")).alias("text"),
     )
     corpus = d.unionByName(pert)
+    # 4 bands x 4 rows: 2-gram shingles are far less discriminative than
+    # 3-grams, so 2-row bands flood the verifier with candidates (measured
+    # 352k candidate pairs at sf0.1 vs 6.5k with 4-row bands — 2-3x the
+    # whole query's runtime spent verifying noise)
     out = minhash_lsh_dedup_pairs(
-        corpus, "doc_id", "text", n=2, num_perms=16, bands=8,
+        corpus, "doc_id", "text", n=2, num_perms=16, bands=4,
         num_threshold=1, den_threshold=10, max_bucket=64,
     )
     return out.select(
@@ -547,7 +551,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 _ORACLE_JACCARD = _oracle_lsh_jaccard(
     "SELECT doc_id, text FROM documents UNION ALL "
     "SELECT doc_id + 2000000, 'prefix noise tokens ' || text FROM documents",
-    n=2, num_perms=16, bands=8, num_thr=1, den_thr=10, max_bucket=64,
+    n=2, num_perms=16, bands=4, num_thr=1, den_thr=10, max_bucket=64,
 )
 
 

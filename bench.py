@@ -29,6 +29,7 @@ REPLICATION = int(os.environ.get("BENCH_REPLICATION", "20"))
 HEADLINE = [
     "extract_kv_sql",
     "extract_kv_kernel",
+    "extract_ocr_fields",
     "text_stats",
     "text_quality",
     "lang_id",
@@ -38,7 +39,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "similarity_topk",
+    "similarity_topk_bucketed",
+    "similarity_lsh_bucketed",
     "multimodal_metadata",
     "multimodal_frame_sample",
     "pricing_summary",
