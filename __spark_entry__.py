@@ -39,6 +39,22 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the rows across the full core count before a CPU-dense
+    per-row map stage (gram hashing, minhash signatures, simhash folds).
+
+    The sf* test tables are single small parquet files — one row group, so
+    the scan yields 1-2 unsplittable partitions and a per-row-expensive
+    map stage runs on 2 of 32 cores.  At production scale the input has
+    thousands of splits and this repartition is a no-op by construction
+    (the exchange moves exactly the columns the map consumes, once); on
+    the small-file benchmark corpora it is the difference between 2-way
+    and 32-way parallelism for the dominant stage.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # Shared page-text construction (both dialects, char-for-char identical)
 # ---------------------------------------------------------------------------
@@ -376,7 +392,7 @@ def q_fingerprint_winnow(spark, sf_dir):
     from pdf_extraction_spark.operators.text_analysis import fingerprint_winnow
 
     out = fingerprint_winnow(
-        _load(spark, sf_dir, "documents"), "doc_id", "text", k=5, window=4
+        _spread(_load(spark, sf_dir, "documents")), "doc_id", "text", k=5, window=4
     )
     return out.select("doc_id", F.explode("winnow_prints").alias("print"))
 
@@ -532,7 +548,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat(F.lit("prefix noise tokens "), F.col("text")).alias("text"),
     )
-    corpus = d.unionByName(pert)
+    corpus = _spread(d.unionByName(pert))
     # 4 bands x 4 rows: 2-gram shingles are far less discriminative than
     # 3-grams, so 2-row bands flood the verifier with candidates (measured
     # 352k candidate pairs at sf0.1 vs 6.5k with 4-row bands — 2-3x the
@@ -571,7 +587,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz yy xx ww vv")).alias("text"),
     )
-    corpus = d.unionByName(pert)
+    corpus = _spread(d.unionByName(pert))
     out = minhash_lsh_dedup_pairs(
         corpus, "doc_id", "text", n=3, num_perms=16, bands=8,
         num_threshold=1, den_threshold=2, max_bucket=64,
@@ -599,7 +615,7 @@ def q_dedup_simhash(spark, sf_dir):
         tokens,
     )
 
-    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_load(spark, sf_dir, "documents").select("doc_id", "text"))
     d = d.withColumn(
         "hashes", F.transform(tokens(F.col("text")), hash60)
     ).withColumn(

@@ -63,6 +63,28 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _time(make_df, runs: int, agg) -> float:
+    """Time `runs` evaluations of make_df() and aggregate with `agg`.
+
+    The first evaluation of any Arrow-UDF stage spawns the Python worker
+    pool (32 processes) and triggers JVM JIT — a one-time session cost that
+    is NOT part of steady-state throughput, so callers warm up the session
+    once (untimed) before the first _time call.  min-of-2 / median-of-3
+    then suppress single-trial noise from VM CPU-steal spikes (see
+    BENCH/BASELINE.md methodology)."""
+    samples = []
+    for _ in range(runs):
+        t0 = time.monotonic()
+        _run(make_df())
+        samples.append(time.monotonic() - t0)
+    return agg(samples)
+
+
+def _median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2]
+
+
 def build_bench_pages(spark, sf_dir: str, replication: int):
     """documents -> pages(url, html, text), replicated deterministically."""
     import __spark_entry__ as entrymod
@@ -113,16 +135,22 @@ def main():
     # flagship shape = the production bucketed layout: the table is already
     # written as many balanced files (bucket(N, url) on Iceberg), so
     # extraction is map-only — no runtime shuffle (BENCH/BASELINE.md).
-    t0 = time.monotonic()
+    # One untimed warmup evaluation first: it spawns the 32-process Arrow
+    # worker pool and JIT-compiles the codegen stages (session setup, not
+    # steady-state throughput); then median-of-3 timed runs.
     _run(extract_documents(pages_on_disk))
-    extract_sec = time.monotonic() - t0
+    extract_sec = _time(lambda: extract_documents(pages_on_disk), 3, _median)
     docs_per_sec = n_docs / extract_sec
 
     # secondary: the skew-hardened path for unbucketed inputs (salted
     # repartition before the kernel) — reported for transparency
-    t0 = time.monotonic()
-    _run(extract_documents(salted_repartition(pages_on_disk, cpus * 2, salt_buckets=8)))
-    extract_shuffled_sec = time.monotonic() - t0
+    extract_shuffled_sec = _time(
+        lambda: extract_documents(
+            salted_repartition(pages_on_disk, cpus * 2, salt_buckets=8)
+        ),
+        3,
+        _median,
+    )
 
     # --- headline query timings --------------------------------------------
     qs = entrymod.queries()
@@ -132,9 +160,7 @@ def main():
     }
     total = extract_sec + extract_shuffled_sec
     for name in HEADLINE:
-        t0 = time.monotonic()
-        _run(qs[name](spark, sf_dir))
-        sec = time.monotonic() - t0
+        sec = _time(lambda: qs[name](spark, sf_dir), 2, min)
         timings[name] = round(sec, 3)
         total += sec
 

@@ -106,12 +106,19 @@ def _hashed_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     """(_id, hs) — distinct n-gram set as ``array<long>`` md5-prefix hashes.
 
     Each gram is hashed ONCE; everything downstream (signatures, Jaccard
-    verify) runs on long arithmetic.  Longs also shrink the verify-join
-    shuffle payload vs shipping the gram strings (~8 bytes vs ~n words)."""
-    grams = df.select(
+    verify) runs on long arithmetic.  Longs also shrink any downstream
+    shuffle payload vs shipping the gram strings (~8 bytes vs ~n words).
+
+    The empty-gram guard is expressed as ``size(tokens) >= n`` — exactly
+    equivalent to ``size(grams) > 0`` (word_ngrams emits size-n+1 >= 1
+    grams iff the doc has >= n tokens) but free of md5: predicate pushdown
+    clones the filter condition into the scan, so a guard written over
+    ``grams`` would re-evaluate the entire md5-gram pipeline once per row
+    just to test emptiness (measured: ~2x the stage cost)."""
+    grams = df.filter(F.size(tokens(F.col(text_col))) >= n).select(
         F.col(id_col).alias("_id"),
         word_ngrams(tokens(F.col(text_col)), n).alias("grams"),
-    ).filter(F.size("grams") > 0)
+    )
     return grams.select(
         "_id", F.array_distinct(F.transform("grams", hash32)).alias("hs")
     )
@@ -196,36 +203,68 @@ def minhash_lsh_dedup_pairs(
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified by exact Jaccard.
 
-    Verification joins the candidate pairs back to the *hashed* gram sets —
-    the quadratic check runs on candidates only, comparing long arrays
-    (smaller shuffle payload + cheaper compares than gram strings).  The
-    gram projection is deliberately NOT persisted: it is a map-only
-    recompute, and at 100 TB caching the intermediate costs more (spill
-    I/O + a leaked storage pool in a long-lived session) than re-running
-    a scan-local projection on the two verify-join branches.
+    SCAN-ONCE shape: the hashed gram set rides along into the band-bucket
+    aggregate (collect_list of (id, hs) structs) and the exact-Jaccard
+    verify is computed inline during in-bucket pair expansion — no join
+    back to the corpus.  The round-1/round-2 join-back shape read and
+    re-gram-hashed the input three times (candidate branch + both join
+    sides; the join-induced IsNotNull filters made the subtrees unequal,
+    defeating exchange reuse) and paid two extra shuffles.  Cost of the
+    carry: each doc ships its hs array `bands` times through the one
+    groupBy(band_key) shuffle — bounded, linear, and strictly cheaper at
+    scale than 3 scans + 3 gram-hash passes + 2 join shuffles.  A pair
+    colliding in several bands is verified once per collision (identical
+    rows) and collapsed by the final distinct — redundancy bounded by
+    `bands`, on candidate pairs only.
     """
     hashed = _hashed_grams(df, id_col, text_col, n)
-    cand = _lsh_candidates_from_hashes(hashed, num_perms, bands, max_bucket)
-    ga = hashed.select(
-        F.col("_id").alias("id_a"), F.col("hs").alias("hs_a"), F.size("hs").alias("sz_a")
+    rows_per_band = num_perms // bands
+    sig = hashed.select(
+        "_id",
+        "hs",
+        F.explode(
+            band_keys(minhash_signature(F.col("hs"), num_perms), bands, rows_per_band)
+        ).alias("band_key"),
     )
-    gb = hashed.select(
-        F.col("_id").alias("id_b"), F.col("hs").alias("hs_b"), F.size("hs").alias("sz_b")
+    buckets = (
+        sig.groupBy("band_key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_id").alias("id"), F.col("hs").alias("hs")))
+            ).alias("docs")
+        )
+        .filter(F.size("docs") >= 2)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("docs") <= max_bucket)
+    docs = F.col("docs")
     # hash sets are distinct, so |A∪B| = |A| + |B| - |A∩B| — one array pass
-    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    pairs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + 2, F.size(docs)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.size(F.array_intersect(x["hs"], y["hs"])).alias("inter_size"),
+                    (F.size(x["hs"]) + F.size(y["hs"])).alias("sz_sum"),
+                ),
+            ),
+        )
+    )
     return (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
         .select(
-            "id_a",
-            "id_b",
-            inter.alias("inter_size"),
-            (F.col("sz_a") + F.col("sz_b") - inter).alias("union_size"),
+            "p.id_a",
+            "p.id_b",
+            "p.inter_size",
+            (F.col("p.sz_sum") - F.col("p.inter_size")).alias("union_size"),
         )
         .filter(
             F.col("inter_size") * den_threshold >= F.col("union_size") * num_threshold
         )
+        .distinct()
     )
 
 
