@@ -606,6 +606,142 @@ _ORACLE_MINHASH = _oracle_lsh_jaccard(
 )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected-components dedup clustering: the near-dup PAIRS from the
+    MinHash-LSH pipeline (same corpus/params as `dedup_minhash_lsh`) are
+    folded into canonical-id clusters — every doc in the pair graph maps
+    to the minimum doc id reachable from it.  Iterative min-label
+    propagation in Spark (driver loop, lineage-truncated per round); the
+    DuckDB twin computes the same fixpoint with a recursive CTE."""
+    from pdf_extraction_spark.operators.dedup import (
+        dedup_components,
+        minhash_lsh_dedup_pairs,
+    )
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx ww vv")).alias("text"),
+    )
+    corpus = _spread(d.unionByName(pert))
+    pairs = minhash_lsh_dedup_pairs(
+        corpus, "doc_id", "text", n=3, num_perms=16, bands=8,
+        num_threshold=1, den_threshold=2, max_bucket=64,
+    )
+    return dedup_components(pairs)
+
+
+_ORACLE_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_ORACLE_MINHASH})
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+)
+SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
+FROM reach GROUP BY n
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + redact over documents with deterministically planted
+    emails (every 3rd doc) and phone numbers (every 4th doc) so the
+    counters and redactions are non-trivially exercised."""
+    from pdf_extraction_spark.operators.text_analysis import pii_scrub
+
+    d = _load(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" call 555-123-4567 today")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return pii_scrub(planted, "doc_id", "text")
+
+
+# same regexes as operators/text_analysis.py — RE2/Java-portable subset
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+
+_ORACLE_PII = f"""
+WITH planted AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' call 555-123-4567 today' ELSE '' END AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g') AS t1
+  FROM planted
+)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(t1, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       regexp_replace(t1, '{_PII_PHONE}', '[PHONE]', 'g') AS scrubbed_text
+FROM s1
+"""
+
+
+def q_source_skew_profile(spark, sf_dir):
+    """Per-source skew diagnosis (rows, bytes, share in basis points, and
+    the worst salted-bucket count at 8 salts) — the measurement that
+    decides whether a key needs salting before a shuffle."""
+    from pdf_extraction_spark.operators.extract import skew_profile
+
+    return skew_profile(
+        _load(spark, sf_dir, "documents"),
+        "source",
+        "doc_id",
+        size_col="text",
+        salt_buckets=8,
+    )
+
+
+_ORACLE_SKEW = """
+WITH pk AS (
+  SELECT source AS key, count(*) AS n_rows, sum(length(text)) AS n_bytes
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_rows) AS total_rows FROM pk),
+sb AS (
+  SELECT key, max(bn) AS max_salted_bucket FROM (
+    SELECT source AS key,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 8 AS salt,
+           count(*) AS bn
+    FROM documents GROUP BY 1, 2
+  ) GROUP BY key
+)
+SELECT pk.key AS source,
+       CAST(pk.n_rows AS BIGINT) AS n_rows,
+       CAST(pk.n_bytes AS BIGINT) AS n_bytes,
+       CAST(pk.n_rows * 10000 // tot.total_rows AS BIGINT) AS share_bp,
+       CAST(sb.max_salted_bucket AS BIGINT) AS max_salted_bucket
+FROM pk CROSS JOIN tot JOIN sb ON sb.key = pk.key
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash fingerprints of base vs perturbed text + Hamming distance."""
     from pdf_extraction_spark.functions.text import (
@@ -1464,7 +1600,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        # training-data curation extras
+        "pii_scrub": q_pii_scrub,
+        "source_skew_profile": q_source_skew_profile,
         # similarity search
         "similarity_topk": q_similarity_topk,
         "similarity_topk_bucketed": q_similarity_topk_bucketed,
@@ -1510,7 +1650,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _ORACLE_JACCARD,
         "dedup_minhash_lsh": _ORACLE_MINHASH,
         "dedup_simhash": _ORACLE_SIMHASH,
+        "dedup_clusters": _ORACLE_CLUSTERS,
         "dedup_embedding_cosine": _ORACLE_EMB_NEARDUP,
+        "pii_scrub": _ORACLE_PII,
+        "source_skew_profile": _ORACLE_SKEW,
         "similarity_topk": _ORACLE_TOPK,
         "similarity_topk_bucketed": _ORACLE_TOPK_BUCKET,
         "similarity_lsh_bucketed": _ORACLE_TOPK_LSH,

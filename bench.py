@@ -39,7 +39,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
     "dedup_embedding_cosine",
+    "pii_scrub",
+    "source_skew_profile",
     "similarity_topk",
     "similarity_topk_bucketed",
     "similarity_lsh_bucketed",

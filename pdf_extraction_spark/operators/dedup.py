@@ -312,3 +312,57 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def dedup_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
+    """Canonical-id assignment over the near-dup pair graph: every doc that
+    appears in a pair is mapped to the MINIMUM doc id reachable from it —
+    the last step of dedup, turning pairwise matches into keep/drop sets.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in <= graph
+    diameter rounds (near-dup clusters are shallow — a handful of rounds).
+    Per round: one join (edges x labels) + one groupBy(node) — both
+    shuffles keyed on node id.  ``localCheckpoint`` truncates the lineage
+    each round so the plan does not grow with the iteration count (the
+    classic Spark iterative-algorithm trap).  At 10^12 docs the same loop
+    holds; the alternating small-star/large-star variant (Kiveris et al.,
+    "Connected Components in MapReduce") halves the round count but the
+    per-round plan is identical.
+
+    Output: (doc_id, cluster_id), one row per node in the pair graph.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -154,3 +154,29 @@ def fingerprint_winnow(
     return df.select(
         F.col(id_col), let_bound(hashed, winnow).alias("winnow_prints")
     )
+
+
+# PII patterns — chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes + bounded quantifiers only, no
+# backreferences, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Detect + redact simple PII (emails, NANP-style phone numbers) —
+    the standard pre-training scrub pass.
+
+    Per-row JVM regex (no UDF, no shuffle): counts via ``regexp_count``
+    and redaction via two ``regexp_replace`` passes (emails first, so a
+    phone-looking substring inside an address is already gone).  Output:
+    (id, n_emails, n_phones, scrubbed_text).
+    """
+    email_n = F.regexp_count(F.col(text_col), F.lit(EMAIL_RE))
+    scrub1 = F.regexp_replace(F.col(text_col), EMAIL_RE, "[EMAIL]")
+    return df.select(
+        F.col(id_col),
+        email_n.cast("long").alias("n_emails"),
+        F.regexp_count(scrub1, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(scrub1, PHONE_RE, "[PHONE]").alias("scrubbed_text"),
+    )

@@ -1,0 +1,79 @@
+"""Training-data-curation operator tests: connected-components dedup
+clustering, PII scrub, and key-skew profiling.
+
+These cover semantics the driver oracles exercise only at corpus level:
+  * dedup_components on a hand-built graph with known components,
+    including a chain (propagation depth > 1) and an isolated pair.
+  * pii_scrub on fixed strings with known emails/phones, including
+    a phone-digit sequence inside an email local part (must NOT be
+    double-counted after redaction).
+  * skew_profile invariants: shares sum to <= 10000 bp, a uniform salt
+    never exceeds the unsalted count, dominant key identified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_dedup_components_chain_and_pair(spark):
+    # component A: chain 1-2-3-4 (min label must propagate 3 hops)
+    # component B: pair 10-11
+    # component C: triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    from pdf_extraction_spark.operators.dedup import dedup_components
+
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_components_long_chain_converges(spark):
+    # 12-node path graph: forces multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "id_a long, id_b long"
+    )
+    from pdf_extraction_spark.operators.dedup import dedup_components
+
+    rows = dedup_components(pairs).collect()
+    assert len(rows) == 12
+    assert {r["cluster_id"] for r in rows} == {100}
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at alice.smith+x@example.co.uk or 555-123-4567 ok"),
+            (2, "no pii here just text 123-45"),
+            (3, "two mails a@b.io c.d@e.org and 111-222-3333 999-888-7777"),
+        ],
+        "doc_id long, text string",
+    )
+    from pdf_extraction_spark.operators.text_analysis import pii_scrub
+
+    got = {r["doc_id"]: r for r in pii_scrub(df, "doc_id", "text").collect()}
+    assert (got[1]["n_emails"], got[1]["n_phones"]) == (1, 1)
+    assert got[1]["scrubbed_text"] == "reach me at [EMAIL] or [PHONE] ok"
+    assert (got[2]["n_emails"], got[2]["n_phones"]) == (0, 0)
+    assert got[2]["scrubbed_text"] == "no pii here just text 123-45"
+    assert (got[3]["n_emails"], got[3]["n_phones"]) == (2, 2)
+    assert got[3]["scrubbed_text"] == "two mails [EMAIL] [EMAIL] and [PHONE] [PHONE]"
+
+
+def test_skew_profile_invariants(spark):
+    rows = [(i, "hot" if i % 10 < 8 else f"cold{i % 10}", "x" * (i % 7 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    from pdf_extraction_spark.operators.extract import skew_profile
+
+    out = skew_profile(df, "source", "doc_id", size_col="text", salt_buckets=8).collect()
+    by_key = {r["source"]: r for r in out}
+    assert sum(r["n_rows"] for r in out) == 200
+    assert sum(r["share_bp"] for r in out) <= 10000
+    assert by_key["hot"]["n_rows"] == 160 and by_key["hot"]["share_bp"] == 8000
+    for r in out:
+        assert 0 < r["max_salted_bucket"] <= r["n_rows"]
+    # salting must spread the hot key: no single salted bucket holds
+    # more than half of a 160-row key split 8 ways (uniform ~20)
+    assert by_key["hot"]["max_salted_bucket"] < 80
