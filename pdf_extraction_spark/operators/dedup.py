@@ -332,10 +332,15 @@ def dedup_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
 
     Output: (doc_id, cluster_id), one row per node in the pair graph.
     """
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    # materialize the edge list ONCE — `pairs` is typically the tail of an
+    # expensive discovery pipeline (LSH + verify), and the per-round join
+    # would otherwise re-evaluate that whole pipeline every iteration
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -343,26 +348,24 @@ def dedup_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # labels only ever DECREASE under min-propagation, so sum(label)
+    # strictly drops on any change — a 1-row aggregate is the convergence
+    # test (no join against the previous round needed)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         nbr = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "label")
-        new_labels = (
+        labels = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
