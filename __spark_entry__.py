@@ -341,6 +341,53 @@ FROM s
 """
 
 
+def q_quality_filter(spark, sf_dir):
+    """C4-style keep/drop gate with reasons — the composition of the
+    curation signals (length, quality score, language markers) into the
+    decision a training-data pipeline actually applies."""
+    from pdf_extraction_spark.operators.text_analysis import quality_filter
+
+    return quality_filter(
+        _load(spark, sf_dir, "documents"), "doc_id", "text",
+        min_tokens=10, min_score=50,
+    )
+
+
+def _dk_quality_filter_sql() -> str:
+    from pdf_extraction_spark.operators.text_analysis import LANG_MARKERS
+
+    markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return f"""
+WITH t AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, len(toks) AS n,
+         len(list_distinct(toks)) AS d,
+         len(list_filter(toks, x -> x IN ('a','and','in','of','the'))) AS sw,
+         len(list_filter(toks, x -> x IN ({in_list}))) AS mh
+  FROM t
+),
+sc AS (
+  SELECT doc_id, n, mh,
+         least(40, n)
+           + least(30, floor(CAST(d * 30 AS DOUBLE) / greatest(n, 1)))
+           + least(30, floor(CAST(sw * 300 AS DOUBLE) / greatest(n, 1))) AS score
+  FROM s
+),
+r AS (
+  SELECT doc_id, concat_ws(',',
+           CASE WHEN n < 10 THEN 'too_short' END,
+           CASE WHEN score < 50 THEN 'low_quality' END,
+           CASE WHEN mh = 0 THEN 'und_lang' END) AS drop_reasons
+  FROM sc
+)
+SELECT doc_id, (drop_reasons = '') AS keep, drop_reasons FROM r
+"""
+
+
+_ORACLE_QUALITY_FILTER = _dk_quality_filter_sql()
+
+
 def q_lang_id(spark, sf_dir):
     from pdf_extraction_spark.operators.text_analysis import lang_id
 
@@ -1591,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
+        "quality_filter": q_quality_filter,
         "lang_id": q_lang_id,
         "fingerprint_md5": q_fingerprint_md5,
         "fingerprint_winnow": q_fingerprint_winnow,
@@ -1642,6 +1690,7 @@ def oracle_sql() -> dict[str, str]:
         # extraction_pipeline: kernel state machine — rows-only check
         "text_stats": _ORACLE_TEXT_STATS,
         "text_quality": _ORACLE_QUALITY,
+        "quality_filter": _ORACLE_QUALITY_FILTER,
         "lang_id": _ORACLE_LANG_ID,
         "fingerprint_md5": _ORACLE_FP_MD5,
         "fingerprint_winnow": _ORACLE_WINNOW,

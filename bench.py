@@ -32,6 +32,7 @@ HEADLINE = [
     "extract_ocr_fields",
     "text_stats",
     "text_quality",
+    "quality_filter",
     "lang_id",
     "fingerprint_md5",
     "fingerprint_winnow",

@@ -50,7 +50,7 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_score_col(text_col: str) -> Column:
     """Heuristic quality score in [0, 100], integer (engine-exact).
 
     score = min(40, n_tokens) + min(30, 100*distinct/total tokens * 0.3)
@@ -62,7 +62,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n = F.size(toks)
     d = F.size(F.array_distinct(toks))
     s = stopword_hits(toks)
-    score = (
+    return (
         F.least(F.lit(40).cast("long"), n.cast("long"))
         + F.least(
             F.lit(30).cast("long"),
@@ -72,11 +72,54 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.lit(30).cast("long"),
             F.floor((s * 300).cast("double") / F.greatest(n, F.lit(1))).cast("long"),
         )
+    ).cast("long")
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc (id, n_tokens, quality_score) — see quality_score_col."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        quality_score_col(text_col).alias("quality_score"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_tokens: int = 10,
+    min_score: int = 50,
+) -> DataFrame:
+    """C4-style document gate: compose the curation signals into a keep/drop
+    decision with machine-readable reasons.
+
+    Rules (each contributes a reason tag when violated):
+      too_short    — fewer than ``min_tokens`` whitespace tokens
+      low_quality  — quality_score_col below ``min_score``
+      und_lang     — zero hits across every language marker set (lang_id
+                     would emit 'und')
+    keep = no reasons.  Reasons are emitted as a comma-joined string in a
+    fixed order, so the row is hashable and engine-comparable (arrays are
+    not sortable by the driver's canonicalizer).  Pure JVM expressions,
+    no shuffle — the gate runs at scan speed and the keep predicate
+    pushes down when used as a filter.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    marker_hits = F.size(F.filter(toks, lambda t: t.isin(all_markers)))
+    reasons = F.concat_ws(
+        ",",
+        F.when(n < min_tokens, F.lit("too_short")),
+        F.when(quality_score_col(text_col) < min_score, F.lit("low_quality")),
+        F.when(marker_hits == 0, F.lit("und_lang")),
     )
     return df.select(
         F.col(id_col),
-        n.alias("n_tokens"),
-        score.cast("long").alias("quality_score"),
+        (reasons == "").alias("keep"),
+        reasons.alias("drop_reasons"),
     )
 
 

@@ -77,3 +77,22 @@ def test_skew_profile_invariants(spark):
     # salting must spread the hot key: no single salted bucket holds
     # more than half of a 160-row key split 8 ways (uniform ~20)
     assert by_key["hot"]["max_salted_bucket"] < 80
+
+
+def test_quality_filter_reason_composition(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the and of to in " * 10),          # long, marker-rich -> keep
+            (2, "short text"),                       # too_short (+ maybe more)
+            (3, " ".join(f"u{i}" for i in range(60))),  # long but no markers
+        ],
+        "doc_id long, text string",
+    )
+    from pdf_extraction_spark.operators.text_analysis import quality_filter
+
+    got = {r["doc_id"]: r for r in quality_filter(df, "doc_id", "text").collect()}
+    assert got[1]["keep"] and got[1]["drop_reasons"] == ""
+    assert not got[2]["keep"] and "too_short" in got[2]["drop_reasons"]
+    assert not got[3]["keep"] and "und_lang" in got[3]["drop_reasons"]
+    # fixed reason order: too_short before low_quality before und_lang
+    assert got[2]["drop_reasons"].split(",")[0] == "too_short"
