@@ -1,0 +1,143 @@
+"""Resumable curation pipeline: quality gate -> PII scrub -> exact dedup,
+with per-group manifests (lineage, drop metrics, checksums) — the
+training-data curation counterpart of plans/pipeline.run_extraction.
+
+Commit groups are assigned by **fingerprint hash**, not doc-id hash: all
+exact duplicates of a document share its fingerprint, so they land in the
+same commit group and per-group dedup IS global dedup — no cross-group
+reconciliation pass, and a resumed job stays exactly-once per group.
+
+All drop metrics come from ``df.observe`` nodes placed upstream of the
+filters inside the ONE write job per group — no extra count jobs, no
+re-read of the output.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pdf_extraction_spark.operators.text_analysis import (
+    pii_scrub,
+    quality_filter,
+)
+from pdf_extraction_spark.plans.pipeline import (
+    _write_manifest_atomic,
+    committed_groups,
+)
+
+
+def _manifest_path(out_path: str, group: int) -> str:
+    return os.path.join(out_path, "_manifests", f"group-{group}.json")
+
+
+def curated_docs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    min_score: int = 50,
+) -> DataFrame:
+    """The curation dataflow for one slice, as a single declarative plan:
+
+    gate (quality_filter join) -> keep-filter -> pii_scrub -> fingerprint
+    -> dedup (row_number over fingerprint, keep min id).
+
+    One shuffle total (the dedup window on fingerprint); everything else
+    is scan-local.  Returns every surviving row plus its fingerprint.
+    """
+    gated = docs.join(
+        quality_filter(docs, id_col, text_col, min_tokens=min_tokens, min_score=min_score),
+        id_col,
+    )
+    kept = gated.filter(F.col("keep")).drop("keep", "drop_reasons")
+    scrubbed = kept.join(pii_scrub(kept, id_col, text_col), id_col).drop(text_col)
+    fp = scrubbed.withColumn(
+        "fingerprint",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("scrubbed_text"))), r"\s+", " ")),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    )
+    return fp.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def run_curation(
+    spark: SparkSession,
+    docs_path: str,
+    out_path: str,
+    *,
+    groups: int = 4,
+    resume: bool = False,
+    min_tokens: int = 10,
+    min_score: int = 50,
+    fail_after_group: int | None = None,
+) -> dict:
+    """Run the curation pipeline with commit-group resume semantics.
+
+    Per group: filter input to the group's FINGERPRINT-hash slice, run
+    ``curated_docs``, write parquet, then commit a manifest carrying the
+    observed metrics (rows in / dropped by gate / dropped as dups / rows
+    out, plus an order-insensitive output checksum).
+    """
+    docs = spark.read.parquet(docs_path)
+    # group key must be identical for every future duplicate of a doc ->
+    # derive it from the same normalized-text fingerprint dedup uses.
+    # Computing it on the RAW text is correct because the gate and scrub
+    # are deterministic functions of the text: byte-equal raw text (the
+    # exact-dup definition) implies byte-equal scrubbed text.
+    group_key = F.pmod(
+        F.xxhash64(
+            F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+        ),
+        F.lit(groups),
+    )
+    done = committed_groups(out_path) if resume else set()
+    summary = {"groups": groups, "skipped": sorted(done), "committed": []}
+    committed_count = 0
+
+    for g in range(groups):
+        if g in done:
+            continue
+        t0 = time.monotonic()
+        slice_df = docs.filter(group_key == g)
+
+        obs_in = Observation(f"curate-{g}-in")
+        slice_df = slice_df.observe(obs_in, F.count(F.lit(1)).alias("n_in"))
+
+        curated = curated_docs(
+            slice_df, min_tokens=min_tokens, min_score=min_score
+        )
+        obs_out = Observation(f"curate-{g}-out")
+        curated = curated.observe(
+            obs_out,
+            F.count(F.lit(1)).alias("n_out"),
+            F.bit_xor(F.xxhash64("fingerprint")).alias("checksum"),
+            F.sum("n_emails").alias("emails_redacted"),
+            F.sum("n_phones").alias("phones_redacted"),
+        )
+        group_dir = os.path.join(out_path, f"group={g}")
+        curated.write.mode("overwrite").parquet(group_dir)
+
+        m_in, m_out = obs_in.get, obs_out.get
+        manifest = {
+            "group": g,
+            "n_input": int(m_in["n_in"]),
+            "n_rows": int(m_out["n_out"]),
+            "n_dropped": int(m_in["n_in"]) - int(m_out["n_out"]),
+            "emails_redacted": int(m_out["emails_redacted"] or 0),
+            "phones_redacted": int(m_out["phones_redacted"] or 0),
+            "output_checksum": int(m_out["checksum"] or 0),
+            "wall_sec": round(time.monotonic() - t0, 3),
+        }
+        _write_manifest_atomic(_manifest_path(out_path, g), manifest)
+        summary["committed"].append(g)
+        committed_count += 1
+        if fail_after_group is not None and committed_count >= fail_after_group:
+            raise RuntimeError(f"simulated kill after {committed_count} group(s)")
+    return summary

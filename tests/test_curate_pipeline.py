@@ -1,0 +1,121 @@
+"""End-to-end curation pipeline test: quality gate -> PII scrub -> exact
+dedup with commit-group resume, cross-checked against an independent
+DuckDB recomputation (gate + dedup) on the same input parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def curate_input(spark, tmp_path_factory):
+    """sf0.001 documents + 10 byte-identical duplicate copies (new ids)."""
+    path = str(tmp_path_factory.mktemp("curate") / "docs.parquet")
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dups = (
+        d.orderBy("doc_id")
+        .limit(10)
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    d.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        dups
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _duckdb_expected(path):
+    """Independent recomputation: gate (same rules) then min-id per
+    normalized-text fingerprint."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    import __spark_entry__ as e
+
+    gate = e.oracle_sql()["quality_filter"]
+    rows = con.execute(
+        f"""
+        WITH gate AS ({gate}),
+        kept AS (
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN gate g ON g.doc_id = d.doc_id WHERE g.keep
+        ),
+        fp AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+          FROM kept
+        )
+        SELECT f, min(doc_id) AS keep_id, count(*) AS n FROM fp GROUP BY f
+        """
+    ).fetchall()
+    return {r[0]: (r[1], r[2]) for r in rows}
+
+
+def test_curation_kill_resume_and_oracle(spark, curate_input, tmp_path):
+    from pdf_extraction_spark.plans.curate import run_curation
+
+    out = str(tmp_path / "curated")
+
+    # killed after one committed group…
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_curation(spark, curate_input, out, groups=3, fail_after_group=1)
+    # …resume completes the remaining groups without re-doing group 0
+    summary = run_curation(spark, curate_input, out, groups=3, resume=True)
+    assert len(summary["skipped"]) == 1
+    assert len(summary["skipped"]) + len(summary["committed"]) == 3
+
+    got = spark.read.parquet(os.path.join(out, "group=*")).collect()
+    expected = _duckdb_expected(curate_input)
+
+    # every fingerprint appears exactly once, with the MIN doc id kept
+    assert len(got) == len(expected)
+    for r in got:
+        keep_id, _ = expected[r["fingerprint"]]
+        assert r["doc_id"] == keep_id
+    # the 10 planted duplicates were dropped by dedup, not by the gate:
+    # every planted copy shares a fingerprint whose count is 2
+    n_dup_fps = sum(1 for _, (_, n) in expected.items() if n >= 2)
+    assert n_dup_fps > 0  # plants actually collided after the gate
+
+    # manifests agree with the data
+    import json
+
+    mdir = os.path.join(out, "_manifests")
+    manifests = [json.load(open(os.path.join(mdir, f))) for f in os.listdir(mdir)]
+    assert sum(m["n_rows"] for m in manifests) == len(got)
+    assert all(m["n_input"] >= m["n_rows"] for m in manifests)
+
+
+def test_curation_rerun_invariance(spark, curate_input, tmp_path):
+    """A fresh run and a killed+resumed run commit identical checksums."""
+    from pdf_extraction_spark.plans.curate import run_curation
+    import json
+
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    run_curation(spark, curate_input, out_a, groups=2)
+    with pytest.raises(RuntimeError):
+        run_curation(spark, curate_input, out_b, groups=2, fail_after_group=1)
+    run_curation(spark, curate_input, out_b, groups=2, resume=True)
+
+    def checks(out):
+        mdir = os.path.join(out, "_manifests")
+        return {
+            json.load(open(os.path.join(mdir, f)))["group"]: json.load(
+                open(os.path.join(mdir, f))
+            )["output_checksum"]
+            for f in os.listdir(mdir)
+        }
+
+    assert checks(out_a) == checks(out_b)
