@@ -341,6 +341,36 @@ FROM s
 """
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of join (scale-safe union+window form): every purchase event is
+    attributed to the user's latest click at or before it.  DuckDB twin
+    uses the native ASOF LEFT JOIN."""
+    from pdf_extraction_spark.operators.joins import asof_join_backward
+
+    ev = _load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join_backward(
+        purchases, clicks, on="user_id", ts_col="ts", right_cols=["value"]
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("matched_ts"), F.col("matched_value"),
+    )
+
+
+_ORACLE_ASOF = """
+SELECT l.event_id, l.user_id, l.ts, r.ts AS matched_ts, r.value AS matched_value
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_quality_filter(spark, sf_dir):
     """C4-style keep/drop gate with reasons — the composition of the
     curation signals (length, quality score, language markers) into the
@@ -1667,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "window_top_events": q_window_top_events,
         "sessionize_events": q_sessionize_events,
+        "events_asof_join": q_events_asof_join,
         "events_hourly": q_events_hourly,
         "set_ops_sources": q_set_ops_sources,
         "topk_docs_by_chars": q_topk_docs_by_chars,
@@ -1714,6 +1745,7 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": _ORACLE_TOP_CUSTOMERS,
         "window_top_events": _ORACLE_WINDOW_TOP,
         "sessionize_events": _ORACLE_SESSIONIZE,
+        "events_asof_join": _ORACLE_ASOF,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "set_ops_sources": _ORACLE_SET_OPS,
         "topk_docs_by_chars": _ORACLE_TOPK_DOCS,

@@ -53,6 +53,7 @@ HEADLINE = [
     "top_customers",
     "window_top_events",
     "sessionize_events",
+    "events_asof_join",
     "events_hourly",
 ]
 
