@@ -341,6 +341,56 @@ FROM s
 """
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-source sampling (mixing weights): src0 kept at
+    80%, src1 at 25%, everything else at 50% — md5-hash decision, so the
+    DuckDB twin selects the byte-identical subset."""
+    from pdf_extraction_spark.operators.sampling import hash_stratified_sample
+
+    out = hash_stratified_sample(
+        _load(spark, sf_dir, "documents"),
+        "doc_id",
+        "source",
+        {"src0": 8000, "src1": 2500},
+        default_bp=5000,
+    )
+    return out.select("doc_id", "source", "lang")
+
+
+_ORACLE_SAMPLE = """
+SELECT doc_id, source, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000
+      < CASE source WHEN 'src0' THEN 8000 WHEN 'src1' THEN 2500 ELSE 5000 END
+"""
+
+
+def q_token_budget_pack(spark, sf_dir):
+    """Per-source greedy token-budget packing (epoch budgeting): walk each
+    source in doc_id order, keep docs while the running token total stays
+    within 1000 tokens."""
+    from pdf_extraction_spark.operators.sampling import token_budget_pack
+
+    return token_budget_pack(
+        _load(spark, sf_dir, "documents"), "doc_id", "text", "source", 1000
+    )
+
+
+_ORACLE_BUDGET = f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_DK_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM t
+)
+SELECT * FROM c WHERE cum_tokens <= 1000
+"""
+
+
 def q_events_asof_join(spark, sf_dir):
     """As-of join (scale-safe union+window form): every purchase event is
     attributed to the user's latest click at or before it.  DuckDB twin
@@ -1683,6 +1733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data curation extras
         "pii_scrub": q_pii_scrub,
         "source_skew_profile": q_source_skew_profile,
+        "sample_stratified": q_sample_stratified,
+        "token_budget_pack": q_token_budget_pack,
         # similarity search
         "similarity_topk": q_similarity_topk,
         "similarity_topk_bucketed": q_similarity_topk_bucketed,
@@ -1734,6 +1786,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _ORACLE_EMB_NEARDUP,
         "pii_scrub": _ORACLE_PII,
         "source_skew_profile": _ORACLE_SKEW,
+        "sample_stratified": _ORACLE_SAMPLE,
+        "token_budget_pack": _ORACLE_BUDGET,
         "similarity_topk": _ORACLE_TOPK,
         "similarity_topk_bucketed": _ORACLE_TOPK_BUCKET,
         "similarity_lsh_bucketed": _ORACLE_TOPK_LSH,

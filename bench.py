@@ -44,6 +44,8 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "pii_scrub",
     "source_skew_profile",
+    "sample_stratified",
+    "token_budget_pack",
     "similarity_topk",
     "similarity_topk_bucketed",
     "similarity_lsh_bucketed",

@@ -96,3 +96,32 @@ def test_quality_filter_reason_composition(spark):
     assert not got[3]["keep"] and "und_lang" in got[3]["drop_reasons"]
     # fixed reason order: too_short before low_quality before und_lang
     assert got[2]["drop_reasons"].split(",")[0] == "too_short"
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    rows = [(i, "src0" if i % 2 == 0 else "srcX", "t") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    from pdf_extraction_spark.operators.sampling import hash_stratified_sample
+
+    out = hash_stratified_sample(df, "doc_id", "source", {"src0": 9000}, default_bp=1000)
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in out.collect())
+    assert a == b  # reproducible
+    n0 = sum(1 for i in a if i % 2 == 0)
+    nx = len(a) - n0
+    assert 800 < n0 < 1000   # ~90% of 1000
+    assert 50 < nx < 150     # ~10% of 1000
+
+
+def test_token_budget_pack_respects_budget_and_order(spark):
+    rows = [(i, "s", " ".join(["w"] * 40)) for i in range(10)]  # 40 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    from pdf_extraction_spark.operators.sampling import token_budget_pack
+
+    out = sorted(
+        token_budget_pack(df, "doc_id", "text", "source", 100).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # 40+40=80 fits, 120 exceeds -> exactly docs 0 and 1 kept, in id order
+    assert [r["doc_id"] for r in out] == [0, 1]
+    assert [r["cum_tokens"] for r in out] == [40, 80]
