@@ -421,6 +421,41 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click'
 """
 
 
+def q_events_interval_join(spark, sf_dir):
+    """Bucketized point-in-interval join: clicks landing inside the 30-min
+    window after each signup, per user.  The equi-join on (user, time
+    bucket) replaces the BroadcastNestedLoopJoin Spark would plan for the
+    raw range predicate; the DuckDB twin is the plain inequality join."""
+    from pdf_extraction_spark.operators.joins import interval_join_bucketed
+
+    ev = _load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    out = interval_join_bucketed(
+        clicks, signups, on="user_id", ts_col="ts",
+        start_col="start_ts", end_col="end_ts", bucket_seconds=600,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "iv_signup_id", "iv_start_ts"
+    )
+
+
+_ORACLE_INTERVAL = """
+SELECT c.event_id, c.user_id, c.ts, s.event_id AS iv_signup_id, s.ts AS iv_start_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+  ON c.user_id = s.user_id
+ AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 30 MINUTE
+"""
+
+
 def q_quality_filter(spark, sf_dir):
     """C4-style keep/drop gate with reasons — the composition of the
     curation signals (length, quality score, language markers) into the
@@ -1750,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_events": q_window_top_events,
         "sessionize_events": q_sessionize_events,
         "events_asof_join": q_events_asof_join,
+        "events_interval_join": q_events_interval_join,
         "events_hourly": q_events_hourly,
         "set_ops_sources": q_set_ops_sources,
         "topk_docs_by_chars": q_topk_docs_by_chars,
@@ -1800,6 +1836,7 @@ def oracle_sql() -> dict[str, str]:
         "window_top_events": _ORACLE_WINDOW_TOP,
         "sessionize_events": _ORACLE_SESSIONIZE,
         "events_asof_join": _ORACLE_ASOF,
+        "events_interval_join": _ORACLE_INTERVAL,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "set_ops_sources": _ORACLE_SET_OPS,
         "topk_docs_by_chars": _ORACLE_TOPK_DOCS,

@@ -56,6 +56,7 @@ HEADLINE = [
     "window_top_events",
     "sessionize_events",
     "events_asof_join",
+    "events_interval_join",
     "events_hourly",
 ]
 

@@ -75,3 +75,55 @@ def asof_join_backward(
         "_l.*",
         *[F.col(f"_rm.{c}").alias(f"{prefix}{c}") for c in r_payload],
     )
+
+
+def interval_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    on: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+    prefix: str = "iv_",
+) -> DataFrame:
+    """Point-in-interval join ("which events fall inside which windows")
+    as an EQUI-join: without this construction Spark plans a range join
+    as BroadcastNestedLoopJoin — |P| x |I| work per key.
+
+    Each point has exactly ONE time bucket (floor(epoch/bucket)); each
+    interval is replicated to every bucket it overlaps (sequence +
+    explode, JVM-side).  The equi-join on (key, bucket) then meets every
+    containment pair exactly once — points own a single bucket, so no
+    dedup pass is needed — and the exact ``start <= ts <= end`` filter
+    runs only on bucket-collocated pairs.  Pick ``bucket_seconds`` near
+    the typical interval length: replication factor = interval span /
+    bucket + 1.
+
+    Output: every point column, plus each interval column prefixed.
+    """
+    p = points.withColumn(
+        "_bkt", F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+    )
+    iv = intervals.select(
+        F.col(on).alias("_ik"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in intervals.columns if c != on],
+    )
+    iv = iv.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(f"{prefix}{start_col}")) / bucket_seconds),
+                F.floor(F.unix_timestamp(F.col(f"{prefix}{end_col}")) / bucket_seconds),
+            )
+        ),
+    )
+    joined = p.join(iv, (p[on] == iv["_ik"]) & (p["_bkt"] == iv["_bkt"]))
+    return (
+        joined.filter(
+            (F.col(ts_col) >= F.col(f"{prefix}{start_col}"))
+            & (F.col(ts_col) <= F.col(f"{prefix}{end_col}"))
+        )
+        .drop("_bkt", "_ik")
+    )

@@ -8,7 +8,7 @@ import datetime as dt
 
 
 def _ts(s):
-    return dt.datetime(2026, 1, 1, 0, 0, s)
+    return dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
 
 
 def test_asof_backward_semantics(spark):
@@ -59,3 +59,43 @@ def test_asof_plan_has_no_join(spark):
     )
     assert "Join" not in plan
     assert plan.count("Exchange") == 1  # exactly the window shuffle
+
+
+def test_interval_join_boundaries_and_buckets(spark):
+    from pdf_extraction_spark.operators.joins import interval_join_bucketed
+
+    # interval [10s, 70s] spans several 30s buckets; points at the exact
+    # boundaries are inclusive, just outside is excluded
+    points = spark.createDataFrame(
+        [(1, 7, _ts(9)), (2, 7, _ts(10)), (3, 7, _ts(40)),
+         (4, 7, _ts(70)), (5, 7, _ts(71)), (6, 8, _ts(40))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(7, 100, _ts(10), _ts(70))],
+        "user_id long, signup_id long, start_ts timestamp, end_ts timestamp",
+    )
+    out = interval_join_bucketed(
+        points, intervals, on="user_id", ts_col="ts",
+        start_col="start_ts", end_col="end_ts", bucket_seconds=30,
+    )
+    assert sorted(r["event_id"] for r in out.collect()) == [2, 3, 4]
+
+
+def test_interval_join_plans_equi_join(spark):
+    """The bucketized construction must produce a hash/merge equi-join,
+    never the BroadcastNestedLoopJoin a raw range predicate plans."""
+    from pdf_extraction_spark.operators.joins import interval_join_bucketed
+
+    points = spark.createDataFrame(
+        [(1, 7, _ts(9))], "event_id long, user_id long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(7, 1, _ts(1), _ts(99))],
+        "user_id long, signup_id long, start_ts timestamp, end_ts timestamp",
+    )
+    plan = interval_join_bucketed(
+        points, intervals, on="user_id", ts_col="ts",
+        start_col="start_ts", end_col="end_ts", bucket_seconds=30,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
