@@ -456,6 +456,58 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
 """
 
 
+def q_docs_rollup(spark, sf_dir):
+    """ROLLUP aggregation: doc counts + char totals at (source, lang),
+    per-source subtotal, and grand-total levels — the grouping-sets
+    surface the reference lacks entirely (SURVEY §2.2)."""
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+_ORACLE_ROLLUP = """
+SELECT coalesce(source, 'ALL') AS source,
+       coalesce(lang, 'ALL') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY ROLLUP(source, lang)
+"""
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact per-source length quantiles (linear interpolation) — both
+    engines implement the same (n-1)*p definition, and the interpolation
+    fractions (.25/.5/.75) are exactly representable, so the doubles
+    match bit-for-bit."""
+    d = _load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.25)").alias("p25"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.75)").alias("p75"),
+    )
+
+
+_ORACLE_QUANTILES = """
+SELECT source,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.5)  AS p50,
+       quantile_cont(n_chars, 0.75) AS p75
+FROM documents GROUP BY source
+"""
+
+
 def q_quality_filter(spark, sf_dir):
     """C4-style keep/drop gate with reasons — the composition of the
     curation signals (length, quality score, language markers) into the
@@ -1789,6 +1841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "set_ops_sources": q_set_ops_sources,
         "topk_docs_by_chars": q_topk_docs_by_chars,
+        "docs_rollup": q_docs_rollup,
+        "length_quantiles": q_length_quantiles,
     }
 
 
@@ -1840,4 +1894,6 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "set_ops_sources": _ORACLE_SET_OPS,
         "topk_docs_by_chars": _ORACLE_TOPK_DOCS,
+        "docs_rollup": _ORACLE_ROLLUP,
+        "length_quantiles": _ORACLE_QUANTILES,
     }
