@@ -820,6 +820,46 @@ _ORACLE_MINHASH = _oracle_lsh_jaccard(
 )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup: treat even-id docs as the accumulated
+    corpus snapshot; the 'daily batch' is all docs plus 50 re-crawled
+    copies (new ids, same text).  Output = batch rows whose fingerprint
+    is genuinely new (odd-id originals only — every even-id text and its
+    re-crawl is already seen)."""
+    from pdf_extraction_spark.operators.dedup import incremental_new_docs
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("fingerprint")
+    ).distinct()
+    recrawl = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+    )
+    batch = d.unionByName(recrawl)
+    out = incremental_new_docs(batch, seen, "doc_id", "text")
+    return out.select("doc_id", "fingerprint")
+
+
+_ORACLE_INCREMENTAL = r"""
+WITH fp AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 5000000, text FROM documents WHERE doc_id % 10 = 0
+  )
+),
+seen AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT doc_id, fingerprint FROM fp
+WHERE fingerprint NOT IN (SELECT fingerprint FROM seen)
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected-components dedup clustering: the near-dup PAIRS from the
     MinHash-LSH pipeline (same corpus/params as `dedup_minhash_lsh`) are
@@ -1816,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         # training-data curation extras
         "pii_scrub": q_pii_scrub,
@@ -1873,6 +1914,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _ORACLE_MINHASH,
         "dedup_simhash": _ORACLE_SIMHASH,
         "dedup_clusters": _ORACLE_CLUSTERS,
+        "dedup_incremental": _ORACLE_INCREMENTAL,
         "dedup_embedding_cosine": _ORACLE_EMB_NEARDUP,
         "pii_scrub": _ORACLE_PII,
         "source_skew_profile": _ORACLE_SKEW,

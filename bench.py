@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_incremental",
     "dedup_embedding_cosine",
     "pii_scrub",
     "source_skew_profile",

@@ -369,3 +369,26 @@ def dedup_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def incremental_new_docs(
+    batch: DataFrame,
+    seen_fingerprints: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Incremental-ingest dedup: rows of ``batch`` whose normalized-text
+    fingerprint is NOT in ``seen_fingerprints`` (one column named
+    ``fingerprint``) — the daily-crawl pattern where each increment is
+    deduped against the accumulated corpus.
+
+    LEFT ANTI join on the fingerprint: one shuffle keyed on the md5
+    fingerprint (uniform, never skewed).  At 10^12 accumulated docs the
+    seen-side is a bucketed table on `fingerprint`, making the anti-join
+    co-partitioned and shuffle-free on the big side.
+    """
+    fp = batch.withColumn(
+        "fingerprint",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")),
+    )
+    return fp.join(seen_fingerprints, "fingerprint", "left_anti")
