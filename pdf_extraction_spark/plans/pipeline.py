@@ -168,3 +168,62 @@ def run_extraction(
 
 def read_extractions(spark: SparkSession, out_path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_path, "group=*"))
+
+
+def compact_group(
+    spark: SparkSession,
+    out_path: str,
+    group: int,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite one committed group's parquet into ~target-sized files —
+    the small-file compaction a long-running ingest needs (each commit
+    writes num_partitions files; thousands of commits make scans
+    metadata-bound).
+
+    Safe + verifiable: the rewrite lands in a temp dir first, its
+    order-insensitive checksum is computed ON THE WRITE PATH (observe)
+    and compared to the committed manifest's ``output_checksum`` BEFORE
+    the swap — a corrupted rewrite can never replace good data.  The
+    manifest is updated in place (atomic tmp+rename) with the new file
+    count; lineage rows are untouched (compaction changes layout, not
+    content).
+    """
+    import shutil
+
+    from pyspark.sql import Observation
+
+    group_dir = os.path.join(out_path, f"group={group}")
+    manifest_path = _manifest_path(out_path, group)
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+
+    df = spark.read.parquet(group_dir)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(group_dir, f))
+        for f in os.listdir(group_dir)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil-div
+    obs = Observation(f"compact-{group}")
+    compacted = df.repartition(n_files).observe(obs, *_checksum_exprs())
+
+    tmp_dir = group_dir + ".compact-tmp"
+    compacted.write.mode("overwrite").parquet(tmp_dir)
+    metrics = obs.get
+    n_rows, checksum = int(metrics["n"]), int(metrics["checksum"] or 0)
+    if n_rows != manifest["n_rows"] or checksum != manifest["output_checksum"]:
+        shutil.rmtree(tmp_dir)
+        raise RuntimeError(
+            f"compaction checksum mismatch for group {group}: "
+            f"rows {n_rows} vs {manifest['n_rows']}, "
+            f"checksum {checksum} vs {manifest['output_checksum']}"
+        )
+    backup = group_dir + ".pre-compact"
+    os.rename(group_dir, backup)
+    os.rename(tmp_dir, group_dir)
+    shutil.rmtree(backup)
+    manifest["compacted_files"] = n_files
+    _write_manifest_atomic(manifest_path, manifest)
+    return {"group": group, "n_files": n_files, "n_rows": n_rows}

@@ -119,3 +119,40 @@ def test_curation_rerun_invariance(spark, curate_input, tmp_path):
         }
 
     assert checks(out_a) == checks(out_b)
+
+
+def test_compact_group_preserves_content(spark, tmp_path):
+    """Compaction rewrites a committed group to fewer files; content is
+    checksum-verified before the swap and byte-identical after."""
+    import json
+    import os
+
+    from pdf_extraction_spark.plans.pipeline import (
+        compact_group,
+        run_extraction,
+    )
+    from fixtures.gen import write_pages
+
+    pages = str(tmp_path / "pages.parquet")
+    write_pages(pages, 200)
+    out = str(tmp_path / "out")
+    run_extraction(spark, pages, out, groups=2, num_partitions=16)
+
+    gdir = os.path.join(out, "group=0")
+    before = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(gdir).collect()
+    }
+    files_before = len([f for f in os.listdir(gdir) if f.endswith(".parquet")])
+    assert files_before > 1
+
+    res = compact_group(spark, out, 0, target_file_bytes=512 * 1024 * 1024)
+    files_after = len([f for f in os.listdir(gdir) if f.endswith(".parquet")])
+    assert files_after == res["n_files"] == 1
+    after = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(gdir).collect()
+    }
+    assert after == before
+    m = json.load(open(os.path.join(out, "_manifests", "group-0.json")))
+    assert m["compacted_files"] == 1 and m["n_rows"] == len(after)
