@@ -137,6 +137,13 @@ def stream_sessionize(
     longs — bounded, keyed, store-managed; this is the shape any custom
     stateful operator (CDC folds, dedup-within-horizon, enrichment
     caches) takes in this engine.
+
+    Lifecycle caveat: with ``availableNow`` + ProcessingTimeTimeout the
+    query does NOT self-terminate after draining — Spark keeps running
+    no-data micro-batches to service pending state timeouts.  Continuous
+    jobs want exactly that (idle sessions flush); drain-and-stop callers
+    must poll the sink and ``stop()`` explicitly
+    (tests/test_streaming_stateful.py shows the pattern).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

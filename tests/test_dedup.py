@@ -132,3 +132,26 @@ def test_lsh_bucket_deterministic_and_bounded(spark):
     w = plane_weights(4, 8)
     assert len(w) == 4 and all(len(row) == 8 for row in w)
     assert all(x in (1.0, -1.0) for row in w for x in row)
+
+
+def test_candidates_superset_of_verified_pairs(spark):
+    """minhash_lsh_candidates (discovery-only API) must contain every
+    pair the verified pipeline emits under identical parameters."""
+    from pdf_extraction_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_dedup_pairs,
+    )
+
+    corpus = _corpus(spark, n_base=20)
+    kw = dict(n=3, num_perms=16, bands=8, max_bucket=64)
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(corpus, "doc_id", "text", **kw).collect()
+    }
+    verified = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dedup_pairs(
+            corpus, "doc_id", "text", num_threshold=1, den_threshold=2, **kw
+        ).collect()
+    }
+    assert verified and verified <= cand

@@ -118,6 +118,13 @@ def test_stateful_sessionize_matches_batch_for_closed_sessions(spark, tmp_path):
         ],
     )
     out = stream_sessionize(spark, inp, gap_seconds=gap, max_files_per_trigger=1)
+    # NOTE: availableNow + ProcessingTimeTimeout never self-terminates —
+    # Spark keeps scheduling no-data micro-batches to service the pending
+    # state timeouts.  Poll the sink for the expected closed sessions,
+    # then stop the query explicitly (and ALWAYS stop: a leaked query
+    # would keep burning CPU under every later test).
+    import time
+
     q = (
         out.writeStream.format("memory")
         .queryName("sessions")
@@ -126,11 +133,18 @@ def test_stateful_sessionize_matches_batch_for_closed_sessions(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    got = {
-        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
-        for r in spark.sql("SELECT * FROM sessions").collect()
-    }
+    try:
+        deadline = time.monotonic() + 90
+        while time.monotonic() < deadline:
+            if spark.sql("SELECT count(*) FROM sessions").collect()[0][0] >= 2:
+                break
+            time.sleep(1)
+        got = {
+            (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+            for r in spark.sql("SELECT * FROM sessions").collect()
+        }
+    finally:
+        q.stop()
     # sessions provably CLOSED by a later event:
     assert got[(1, _t(0))] == (_t(5), 2)
     assert got[(2, _t(0))] == (_t(0), 1)
