@@ -1280,6 +1280,53 @@ FROM p, (SELECT unnest([0, 2]) AS f)
 """
 
 
+def q_multimodal_bmp_decode(spark, sf_dir):
+    """REAL pixel decode: spec-conformant 24-bit BMPs are synthesized
+    JVM-side from doc ids (bottom-up rows, 4-byte stride, BGR), then the
+    pure-Python decoder in mapInPandas parses them — headers, row flip,
+    stride, channel order — and emits per-channel means + the top-left
+    pixel.  The DuckDB twin never parses BMP: it recomputes the expected
+    stats analytically from the generator formula, so any decoder error
+    (off-by-one stride, unflipped rows, RGB/BGR swap) breaks the match."""
+    from pdf_extraction_spark.operators.multimodal import decode_bmp, synth_bmp
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    blobs = d.select("doc_id", synth_bmp(F.col("doc_id")).alias("blob"))
+    return decode_bmp(blobs, "doc_id", "blob")
+
+
+_ORACLE_BMP_DECODE = """
+WITH m AS (
+  SELECT doc_id, CAST(doc_id % 5 + 4 AS INT) AS w, CAST(doc_id % 4 + 4 AS INT) AS h
+  FROM documents
+),
+rows_ AS (SELECT doc_id, w, h, unnest(range(h)) AS j FROM m),
+rh AS (
+  SELECT doc_id, w, h, j,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':a')
+                || md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':b'),
+                1, w*6) AS hx
+  FROM rows_
+),
+b AS (SELECT doc_id, w, h, j, unnest(range(w*3)) AS k, hx FROM rh),
+v AS (
+  SELECT doc_id, w, h, j, k,
+         CAST(('0x' || substr(hx, CAST(k*2 + 1 AS INT), 2)) AS INT) AS val,
+         k % 3 AS chan
+  FROM b
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       CAST(sum(CASE WHEN chan = 0 THEN val END) * 1000 // (w*h) AS BIGINT) AS mean_b_milli,
+       CAST(sum(CASE WHEN chan = 1 THEN val END) * 1000 // (w*h) AS BIGINT) AS mean_g_milli,
+       CAST(sum(CASE WHEN chan = 2 THEN val END) * 1000 // (w*h) AS BIGINT) AS mean_r_milli,
+       CAST(max(CASE WHEN j = h-1 AND k = 0 THEN val END) AS INT) AS tl_b,
+       CAST(max(CASE WHEN j = h-1 AND k = 1 THEN val END) AS INT) AS tl_g,
+       CAST(max(CASE WHEN j = h-1 AND k = 2 THEN val END) AS INT) AS tl_r,
+       CAST(1 AS INT) AS is_valid
+FROM v GROUP BY doc_id, w, h
+"""
+
+
 def q_multimodal_decode_fake(spark, sf_dir):
     """Stubbed pixel decode (fake=True deterministic stand-in; real decode
     raises NotImplementedError — no image libs in this container)."""
@@ -1871,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_byte_features": q_multimodal_byte_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_bmp_decode": q_multimodal_bmp_decode,
         "multimodal_decode_fake": q_multimodal_decode_fake,
         # relational coverage
         "pricing_summary": q_pricing_summary,
@@ -1926,6 +1974,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_metadata": _ORACLE_MM_META,
         "multimodal_byte_features": _ORACLE_MM_BYTES,
         "multimodal_frame_sample": _ORACLE_MM_FRAMES,
+        "multimodal_bmp_decode": _ORACLE_BMP_DECODE,
         "multimodal_decode_fake": _ORACLE_MM_DECODE,
         "pricing_summary": _ORACLE_PRICING,
         "top_customers": _ORACLE_TOP_CUSTOMERS,

@@ -52,6 +52,7 @@ HEADLINE = [
     "similarity_lsh_bucketed",
     "multimodal_metadata",
     "multimodal_frame_sample",
+    "multimodal_bmp_decode",
     "pricing_summary",
     "top_customers",
     "window_top_events",

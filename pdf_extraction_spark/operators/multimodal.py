@@ -275,3 +275,154 @@ def decode_image(
         F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
     )
     return src.mapInPandas(_decode_batches(fake), schema=DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode: BMP (uncompressed 24-bit) — no image library needed.
+# The compressed-format decode (JPEG/PNG) remains stubbed above; BMP's
+# layout (little-endian headers, 4-byte row stride, bottom-up row order,
+# BGR channel order) is fully specified, so this is a genuine decoder,
+# not a stand-in.
+# ---------------------------------------------------------------------------
+
+def _u32le_hex(v: Column) -> Column:
+    """Hex of a uint32 in little-endian byte order (JVM expressions)."""
+    b = [F.format_string("%02x", (v.bitwiseAND(F.lit(255 << (8 * i))) / F.lit(1 << (8 * i))).cast("int")) for i in range(4)]
+    return F.concat(*b)
+
+
+def _u16le_hex(v: Column) -> Column:
+    return F.concat(
+        F.format_string("%02x", (v % 256).cast("int")),
+        F.format_string("%02x", (v / 256).cast("int")),
+    )
+
+
+def synth_bmp(id_col: Column) -> Column:
+    """A REAL, spec-conformant 24-bit BMP built from an integer id with
+    pure JVM expressions: width = 4 + id%5, height = 4 + id%4, stored
+    row j's pixel bytes = md5(id:j:a)||md5(id:j:b) truncated to 3*w
+    bytes, zero-padded to the 4-byte stride.  (BMP stores rows
+    bottom-up, so stored row j is IMAGE row h-1-j — the decoder must
+    flip; the DuckDB oracle accounts for it analytically.)"""
+    sid = id_col.cast("string")
+    w = (id_col % 5 + 4).cast("int")
+    h = (id_col % 4 + 4).cast("int")
+    row_bytes = w * 3
+    pad = (F.lit(4) - row_bytes % 4) % 4
+    stride = row_bytes + pad
+    image_size = (stride * h).cast("int")
+    file_size = (image_size + 54).cast("int")
+    file_header = F.concat(
+        F.lit("424d"),                      # 'BM'
+        _u32le_hex(file_size),
+        F.lit("00000000"),
+        F.lit("36000000"),                  # pixel offset 54
+    )
+    info_header = F.concat(
+        F.lit("28000000"),                  # header size 40
+        _u32le_hex(w.cast("int")),
+        _u32le_hex(h.cast("int")),          # positive -> bottom-up
+        F.lit("0100"),                      # planes
+        F.lit("1800"),                      # 24 bpp
+        F.lit("00000000"),                  # BI_RGB
+        _u32le_hex(image_size),
+        F.lit("00000000" * 4),
+    )
+    row_hex = lambda j: F.concat(
+        F.substring(
+            F.concat(
+                F.md5(F.concat(sid, F.lit(":"), j.cast("string"), F.lit(":a"))),
+                F.md5(F.concat(sid, F.lit(":"), j.cast("string"), F.lit(":b"))),
+            ),
+            1,
+            row_bytes * 2,
+        ),
+        F.substring(F.lit("000000"), 1, pad * 2),
+    )
+    pixels = F.array_join(
+        F.transform(F.sequence(F.lit(0), h - 1), row_hex), ""
+    )
+    return F.unhex(F.concat(file_header, info_header, pixels))
+
+
+BMP_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_b_milli", LongType()),
+        StructField("mean_g_milli", LongType()),
+        StructField("mean_r_milli", LongType()),
+        StructField("tl_b", IntegerType()),
+        StructField("tl_g", IntegerType()),
+        StructField("tl_r", IntegerType()),
+        StructField("is_valid", IntegerType()),
+    ]
+)
+
+
+def parse_bmp(raw: bytes):
+    """Parse an uncompressed 24-bit BMP; returns (w, h, rows) with
+    rows[y] = image row y's BGR bytes (top-to-bottom), or None if the
+    blob is not a decodable 24-bit BI_RGB BMP.  Handles both bottom-up
+    (positive height) and top-down (negative height) layouts and the
+    4-byte row stride."""
+    if len(raw) < 54 or raw[:2] != b"BM":
+        return None
+    off = int.from_bytes(raw[10:14], "little")
+    w = int.from_bytes(raw[18:22], "little", signed=True)
+    h = int.from_bytes(raw[22:26], "little", signed=True)
+    bpp = int.from_bytes(raw[28:30], "little")
+    compression = int.from_bytes(raw[30:34], "little")
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    top_down, height = h < 0, abs(h)
+    stride = (3 * w + 3) // 4 * 4
+    px = raw[off : off + stride * height]
+    if len(px) < stride * height:
+        return None
+    rows = [px[j * stride : j * stride + 3 * w] for j in range(height)]
+    if not top_down:
+        rows = rows[::-1]
+    return w, height, rows
+
+
+def _bmp_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k.name: [] for k in BMP_DECODE_SCHEMA.fields}
+        for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+            parsed = parse_bmp(bytes(blob))
+            out["media_id"].append(int(mid))
+            if parsed is None:
+                for k in ("width", "height", "mean_b_milli", "mean_g_milli",
+                          "mean_r_milli", "tl_b", "tl_g", "tl_r"):
+                    out[k].append(None)
+                out["is_valid"].append(0)
+                continue
+            w, h, rows = parsed
+            sums = [0, 0, 0]
+            for row in rows:
+                for i, v in enumerate(row):
+                    sums[i % 3] += v
+            n = w * h
+            out["width"].append(w)
+            out["height"].append(h)
+            out["mean_b_milli"].append(sums[0] * 1000 // n)
+            out["mean_g_milli"].append(sums[1] * 1000 // n)
+            out["mean_r_milli"].append(sums[2] * 1000 // n)
+            out["tl_b"].append(rows[0][0])
+            out["tl_g"].append(rows[0][1])
+            out["tl_r"].append(rows[0][2])
+            out["is_valid"].append(1)
+        yield pd.DataFrame(out)
+
+
+def decode_bmp(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """REAL pixel decode for 24-bit BMP blobs (Arrow-batched mapInPandas):
+    per-channel means (BGR) and the top-left pixel — the top-left value
+    proves the decoder honors BMP's bottom-up row storage."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
+    )
+    return src.mapInPandas(_bmp_decode_batches, schema=BMP_DECODE_SCHEMA)

@@ -108,3 +108,58 @@ def test_decode_image_real_is_stubbed(media):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_bmp_decode_real_semantics(spark):
+    """decode_bmp honors bottom-up storage, 4-byte stride, and BGR order;
+    malformed blobs degrade to is_valid=0 rows, never exceptions."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.operators.multimodal import (
+        decode_bmp,
+        parse_bmp,
+        synth_bmp,
+    )
+
+    blobs = spark.range(0, 20).select(
+        F.col("id").alias("doc_id"), synth_bmp(F.col("id")).alias("blob")
+    )
+    got = {r["media_id"]: r for r in decode_bmp(blobs, "doc_id", "blob").collect()}
+    for i in range(20):
+        r = got[i]
+        assert r["is_valid"] == 1
+        assert (r["width"], r["height"]) == (4 + i % 5, 4 + i % 4)
+        # python reference: parse the same blob locally
+        raw = bytes(
+            blobs.filter(F.col("doc_id") == i).collect()[0]["blob"]
+        )
+        w, h, rows = parse_bmp(raw)
+        sums = [0, 0, 0]
+        for row in rows:
+            for k, v in enumerate(row):
+                sums[k % 3] += v
+        assert r["mean_b_milli"] == sums[0] * 1000 // (w * h)
+        assert (r["tl_b"], r["tl_g"], r["tl_r"]) == tuple(rows[0][:3])
+
+    # top-down (negative height) variant parses without the row flip
+    w, h = 2, 2
+    stride = (3 * w + 3) // 4 * 4
+    px = (bytes([1, 2, 3, 4, 5, 6]) + b"\x00" * (stride - 6)
+          + bytes([7, 8, 9, 10, 11, 12]) + b"\x00" * (stride - 6))
+    raw = (
+        b"BM" + struct.pack("<I", 54 + stride * h) + b"\x00" * 4
+        + struct.pack("<I", 54)
+        + struct.pack("<IiiHHIIIIII", 40, w, -h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+        + px
+    )
+    pw, ph, rows = parse_bmp(raw)
+    assert (pw, ph) == (2, 2) and rows[0][:3] == bytes([1, 2, 3])
+
+    # malformed blobs -> is_valid=0, no exception
+    bad = spark.createDataFrame(
+        [(1, b"not a bmp"), (2, b"BM" + b"\x00" * 10)], "doc_id long, blob binary"
+    )
+    rows = decode_bmp(bad, "doc_id", "blob").collect()
+    assert all(r["is_valid"] == 0 and r["width"] is None for r in rows)
