@@ -1327,6 +1327,44 @@ FROM v GROUP BY doc_id, w, h
 """
 
 
+def q_multimodal_wav_decode(spark, sf_dir):
+    """REAL audio decode: 16-bit PCM WAVs synthesized JVM-side, parsed by
+    a chunk-walking RIFF parser in mapInPandas (little-endian signed
+    samples).  Oracle recomputes amplitude stats analytically from the
+    generator formula — a sign error, an endianness swap, or a chunk
+    mis-walk breaks the match."""
+    from pdf_extraction_spark.operators.multimodal import decode_wav, synth_wav
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    blobs = d.select("doc_id", synth_wav(F.col("doc_id")).alias("blob"))
+    return decode_wav(blobs, "doc_id", "blob")
+
+
+_ORACLE_WAV_DECODE = """
+WITH m AS (SELECT doc_id, CAST(doc_id % 17 + 16 AS INT) AS n FROM documents),
+s AS (SELECT doc_id, n, unnest(range(n)) AS k FROM m),
+hx AS (
+  SELECT doc_id, n, k,
+         md5(CAST(doc_id AS VARCHAR) || ':w' || CAST(k // 8 AS VARCHAR)) AS h,
+         CAST(k % 8 AS INT) AS o
+  FROM s
+),
+v AS (
+  SELECT doc_id, n, k,
+         CAST(('0x' || substr(h, o*4 + 1, 2)) AS INT)
+           + CAST(('0x' || substr(h, o*4 + 3, 2)) AS INT) * 256 AS u
+  FROM hx
+),
+sv AS (SELECT doc_id, n, k, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS smp FROM v)
+SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate, n AS n_samples,
+       CAST(sum(abs(smp)) * 1000 // n AS BIGINT) AS mean_abs_milli,
+       CAST(max(abs(smp)) AS INT) AS max_abs,
+       CAST(max(CASE WHEN k = 0 THEN smp END) AS INT) AS first_sample,
+       CAST(1 AS INT) AS is_valid
+FROM sv GROUP BY doc_id, n
+"""
+
+
 def q_multimodal_decode_fake(spark, sf_dir):
     """Stubbed pixel decode (fake=True deterministic stand-in; real decode
     raises NotImplementedError — no image libs in this container)."""
@@ -1919,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_byte_features": q_multimodal_byte_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_bmp_decode": q_multimodal_bmp_decode,
+        "multimodal_wav_decode": q_multimodal_wav_decode,
         "multimodal_decode_fake": q_multimodal_decode_fake,
         # relational coverage
         "pricing_summary": q_pricing_summary,
@@ -1975,6 +2014,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_byte_features": _ORACLE_MM_BYTES,
         "multimodal_frame_sample": _ORACLE_MM_FRAMES,
         "multimodal_bmp_decode": _ORACLE_BMP_DECODE,
+        "multimodal_wav_decode": _ORACLE_WAV_DECODE,
         "multimodal_decode_fake": _ORACLE_MM_DECODE,
         "pricing_summary": _ORACLE_PRICING,
         "top_customers": _ORACLE_TOP_CUSTOMERS,

@@ -53,6 +53,7 @@ HEADLINE = [
     "multimodal_metadata",
     "multimodal_frame_sample",
     "multimodal_bmp_decode",
+    "multimodal_wav_decode",
     "pricing_summary",
     "top_customers",
     "window_top_events",

@@ -163,3 +163,51 @@ def test_bmp_decode_real_semantics(spark):
     )
     rows = decode_bmp(bad, "doc_id", "blob").collect()
     assert all(r["is_valid"] == 0 and r["width"] is None for r in rows)
+
+
+def test_wav_decode_real_semantics(spark):
+    """decode_wav walks RIFF chunks (tolerating extra chunks before
+    'data'), parses signed little-endian samples, and degrades malformed
+    blobs to is_valid=0."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.operators.multimodal import (
+        decode_wav,
+        parse_wav,
+        synth_wav,
+    )
+
+    blobs = spark.range(0, 12).select(
+        F.col("id").alias("doc_id"), synth_wav(F.col("id")).alias("blob")
+    )
+    got = {r["media_id"]: r for r in decode_wav(blobs, "doc_id", "blob").collect()}
+    raws = {
+        r["doc_id"]: bytes(r["blob"]) for r in blobs.collect()
+    }
+    for i in range(12):
+        rate, samples = parse_wav(raws[i])
+        r = got[i]
+        assert r["is_valid"] == 1 and r["sample_rate"] == 8000
+        assert r["n_samples"] == len(samples) == 16 + i % 17
+        assert r["first_sample"] == samples[0]
+        assert r["max_abs"] == max(abs(s) for s in samples)
+
+    # extra chunk ('LIST') before 'data' must be skipped, including the
+    # odd-size word-alignment pad
+    samples = [100, -200, 300]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    listc = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size + pad
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt + listc + \
+           b"data" + struct.pack("<I", len(data)) + data
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, got_samples = parse_wav(raw)
+    assert rate == 8000 and got_samples == samples
+
+    bad = spark.createDataFrame(
+        [(1, b"RIFFxxxx"), (2, b"nope")], "doc_id long, blob binary"
+    )
+    rows = decode_wav(bad, "doc_id", "blob").collect()
+    assert all(r["is_valid"] == 0 for r in rows)
