@@ -391,6 +391,34 @@ SELECT * FROM c WHERE cum_tokens <= 1000
 """
 
 
+def q_events_json_props(spark, sf_dir):
+    """Semi-structured column handling: parse the JSON `props` string
+    with a typed schema (from_json — JVM-side Jackson, no UDF) and
+    aggregate the extracted field per event type.  DuckDB twin uses its
+    native json_extract."""
+    ev = _load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("p.k")).cast("long").alias("sum_k"),
+        F.min(F.col("p.k")).cast("int").alias("min_k"),
+        F.max(F.col("p.k")).cast("int").alias("max_k"),
+    )
+
+
+_ORACLE_JSON_PROPS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_events_asof_join(spark, sf_dir):
     """As-of join (scale-safe union+window form): every purchase event is
     attributed to the user's latest click at or before it.  DuckDB twin
@@ -1964,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "window_top_events": q_window_top_events,
         "sessionize_events": q_sessionize_events,
+        "events_json_props": q_events_json_props,
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
         "events_hourly": q_events_hourly,
@@ -2020,6 +2049,7 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": _ORACLE_TOP_CUSTOMERS,
         "window_top_events": _ORACLE_WINDOW_TOP,
         "sessionize_events": _ORACLE_SESSIONIZE,
+        "events_json_props": _ORACLE_JSON_PROPS,
         "events_asof_join": _ORACLE_ASOF,
         "events_interval_join": _ORACLE_INTERVAL,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
