@@ -29,8 +29,10 @@ def main(argv=None) -> int:
     p.add_argument("--salt", type=int, default=8, help="size-salt buckets for skew")
     p.add_argument("--resume", action="store_true", help="skip committed groups")
     p.add_argument("--cpus", type=int, default=None, help="local[N] cores")
-    p.add_argument("--format", choices=["parquet", "jsonl"], default="parquet",
-                   help="input format (jsonl carries html as base64)")
+    p.add_argument("--format", choices=["parquet", "jsonl", "warc"],
+                   default="parquet",
+                   help="input format (jsonl carries html as base64; warc "
+                        "reads Common-Crawl .warc/.warc.gz archives)")
     args = p.parse_args(argv)
 
     from pdf_extraction_spark.session import get_spark

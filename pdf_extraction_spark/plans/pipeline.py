@@ -94,14 +94,18 @@ def run_extraction(
 
     ``fail_after_group`` is a test hook: raise after committing that many
     groups, simulating a killed job for the resume test.
-    ``input_format``: "parquet" (Iceberg/parquet table) or "jsonl"
-    (crawl-dump interchange; html carried as base64).
+    ``input_format``: "parquet" (Iceberg/parquet table), "jsonl"
+    (crawl-dump interchange; html carried as base64), or "warc"
+    (Common Crawl's native archive format, .warc/.warc.gz).
     """
     from pdf_extraction_spark.sources.pages import read_pages, read_pages_jsonl
+    from pdf_extraction_spark.sources.warc import read_pages_warc
 
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    if input_format == "jsonl":
+    if input_format == "warc":
+        pages = read_pages_warc(spark, pages_path)
+    elif input_format == "jsonl":
         pages = read_pages_jsonl(spark, pages_path)
     else:
         # read_pages enforces the documented fail-fast schema contract on

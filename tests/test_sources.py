@@ -55,3 +55,53 @@ def test_pipeline_parquet_branch_validates(spark, tmp_path):
     spark.createDataFrame([(1, "x")], "a long, b string").write.parquet(bad)
     with pytest.raises(ValueError, match="schema mismatch"):
         run_extraction(spark, bad, str(tmp_path / "out"), groups=1)
+
+
+def test_warc_source_end_to_end(spark, tmp_path):
+    """WARC records (gzip multi-member, HTTP envelopes, non-response
+    records skipped) land in the pages schema and run byte-identically
+    through the extraction pipeline."""
+    import datetime as dt
+    import gzip
+    import io
+    import os
+
+    from pdf_extraction_spark.sources.warc import (
+        read_pages_warc,
+        write_pages_warc,
+    )
+    from tests.oracle import oracle_document
+
+    html_a = b"<html><body><p>" + b"warc body one with several words here " * 8 + b"</p></body></html>"
+    html_b = b"<html><body><nav><a href=x>l</a></nav><p>" + b"second doc main text content words " * 9 + b"</p></body></html>"
+    ts = dt.datetime(2026, 3, 1, 12, 0, 0)
+    wpath = str(tmp_path / "seg-00000.warc.gz")
+    write_pages_warc(
+        [("http://a.example/x", ts, html_a), ("http://b.example/y", ts, html_b)],
+        wpath,
+    )
+    # splice in a request record (must be skipped) as an extra gzip member
+    req = (
+        "WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: http://a.example/x\r\n"
+        "WARC-Date: 2026-03-01T12:00:00Z\r\nContent-Length: 4\r\n\r\n"
+    ).encode() + b"GET " + b"\r\n\r\n"
+    with open(wpath, "ab") as f:
+        f.write(gzip.compress(req))
+
+    pages = read_pages_warc(spark, wpath)
+    rows = {r["url"]: r for r in pages.collect()}
+    assert set(rows) == {"http://a.example/x", "http://b.example/y"}
+    assert bytes(rows["http://a.example/x"]["html"]) == html_a
+    assert rows["http://a.example/x"]["warc_ts"] == ts
+
+    # full pipeline over the WARC input, byte-identity vs the oracle
+    from pdf_extraction_spark.plans.pipeline import run_extraction
+
+    out = str(tmp_path / "out")
+    run_extraction(spark, wpath, out, groups=1, input_format="warc")
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(os.path.join(out, "group=*")).collect()
+    }
+    for url, html in [("http://a.example/x", html_a), ("http://b.example/y", html_b)]:
+        assert got[url] == oracle_document(url, html, None)["extracted_text"]
