@@ -391,6 +391,34 @@ SELECT * FROM c WHERE cum_tokens <= 1000
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking: 64-token windows with 8-token overlap,
+    final short tail kept, one row per chunk."""
+    from pdf_extraction_spark.operators.sampling import chunk_documents
+
+    return chunk_documents(
+        _load(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk_tokens=64, overlap=8,
+    )
+
+
+_ORACLE_CHUNKS = f"""
+WITH t AS (SELECT doc_id, {_DK_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         greatest(1, CAST(floor(CAST(len(toks) - 9 AS DOUBLE) / 56) AS INT) + 1) AS k
+  FROM t
+),
+c AS (SELECT doc_id, toks, n, unnest(range(k)) AS cid FROM m)
+SELECT doc_id,
+       CAST(cid AS BIGINT) AS chunk_id,
+       CAST(cid*56 AS BIGINT) AS chunk_start,
+       CAST(least(64, n - cid*56) AS BIGINT) AS chunk_n_tokens,
+       array_to_string(list_slice(toks, CAST(cid*56 + 1 AS INT), CAST(cid*56 + 64 AS INT)), ' ') AS chunk_text
+FROM c
+"""
+
+
 def q_events_json_props(spark, sf_dir):
     """Semi-structured column handling: parse the JSON `props` string
     with a typed schema (from_json — JVM-side Jackson, no UDF) and
@@ -1976,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_skew_profile": q_source_skew_profile,
         "sample_stratified": q_sample_stratified,
         "token_budget_pack": q_token_budget_pack,
+        "chunk_documents": q_chunk_documents,
         # similarity search
         "similarity_topk": q_similarity_topk,
         "similarity_topk_bucketed": q_similarity_topk_bucketed,
@@ -2036,6 +2065,7 @@ def oracle_sql() -> dict[str, str]:
         "source_skew_profile": _ORACLE_SKEW,
         "sample_stratified": _ORACLE_SAMPLE,
         "token_budget_pack": _ORACLE_BUDGET,
+        "chunk_documents": _ORACLE_CHUNKS,
         "similarity_topk": _ORACLE_TOPK,
         "similarity_topk_bucketed": _ORACLE_TOPK_BUCKET,
         "similarity_lsh_bucketed": _ORACLE_TOPK_LSH,

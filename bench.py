@@ -47,6 +47,7 @@ HEADLINE = [
     "source_skew_profile",
     "sample_stratified",
     "token_budget_pack",
+    "chunk_documents",
     "similarity_topk",
     "similarity_topk_bucketed",
     "similarity_lsh_bucketed",

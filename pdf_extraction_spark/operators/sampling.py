@@ -73,3 +73,63 @@ def token_budget_pack(
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= budget_tokens)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the context-window chunking step of training-data prep.
+
+    Starts advance by ``chunk_tokens - overlap``; the final window is the
+    (possibly short) tail.  Pure JVM expressions: tokens are let-bound so
+    the per-chunk slice does not re-tokenize (CollapseProject would
+    otherwise inline the split() once per chunk), and explode turns the
+    chunk array into rows.  No shuffle; parallelism = scan splits.
+
+    Output: (id, chunk_id, chunk_start, chunk_n_tokens, chunk_text).
+    """
+    from pdf_extraction_spark.functions.text import let_bound
+
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+
+    def chunks(ts):
+        n = F.size(ts)
+        # ceil((n - overlap) / step), floored at 1 for any non-empty doc
+        # (a doc shorter than the overlap still yields its single chunk)
+        n_chunks = F.greatest(
+            F.lit(1), (F.floor((n - F.lit(overlap) - 1) / step) + 1).cast("int")
+        )
+        arr = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda c: F.struct(
+                c.alias("chunk_id"),
+                (c * step).alias("chunk_start"),
+                F.least(F.lit(chunk_tokens), n - c * step).alias("chunk_n_tokens"),
+                F.array_join(
+                    F.slice(ts, c * step + 1, chunk_tokens), " "
+                ).alias("chunk_text"),
+            ),
+        )
+        # split('') yields [''], so n >= 1 always; the n<=0 guard exists
+        # only for defensive symmetry (sequence(0,-1) would DESCEND)
+        return F.when(n <= 0, F.slice(arr, 1, 0)).otherwise(arr)
+
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(let_bound(tokens(F.col(text_col)), chunks)).alias("c"),
+    )
+    return exploded.select(
+        id_col,
+        F.col("c.chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.chunk_start").cast("long").alias("chunk_start"),
+        F.col("c.chunk_n_tokens").cast("long").alias("chunk_n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

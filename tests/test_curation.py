@@ -125,3 +125,27 @@ def test_token_budget_pack_respects_budget_and_order(spark):
     # 40+40=80 fits, 120 exceeds -> exactly docs 0 and 1 kept, in id order
     assert [r["doc_id"] for r in out] == [0, 1]
     assert [r["cum_tokens"] for r in out] == [40, 80]
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    toks = " ".join(f"t{i}" for i in range(130))  # 130 tokens
+    df = spark.createDataFrame(
+        [(1, toks), (2, "a b c"), (3, "x")], "doc_id long, text string"
+    )
+    from pdf_extraction_spark.operators.sampling import chunk_documents
+
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=64, overlap=8)
+    rows = sorted(out.collect(), key=lambda r: (r["doc_id"], r["chunk_id"]))
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # 130 tokens, step 56 -> chunks at 0, 56, 112 (tail of 18)
+    assert [(r["chunk_start"], r["chunk_n_tokens"]) for r in d1] == [
+        (0, 64), (56, 64), (112, 18),
+    ]
+    assert d1[0]["chunk_text"].split(" ")[0] == "t0"
+    assert d1[1]["chunk_text"].split(" ")[0] == "t56"  # 8-token overlap
+    assert d1[2]["chunk_text"].split(" ")[-1] == "t129"
+    # short docs yield exactly their single chunk
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "a b c"
+    d3 = [r for r in rows if r["doc_id"] == 3]
+    assert len(d3) == 1 and d3[0]["chunk_n_tokens"] == 1
