@@ -61,7 +61,12 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
         if df is not None:
             validate_pages_schema(df)
             return df
-    df = spark.read.parquet(source)
+    # columnar path: pick the reader by extension (parquet default; ORC is
+    # the other splittable columnar format crawls ship in)
+    if source.rstrip("/").endswith(".orc") or "/orc" in source.rstrip("/")[-8:]:
+        df = spark.read.orc(source)
+    else:
+        df = spark.read.parquet(source)
     validate_pages_schema(df)
     return df
 

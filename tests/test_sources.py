@@ -105,3 +105,26 @@ def test_warc_source_end_to_end(spark, tmp_path):
     }
     for url, html in [("http://a.example/x", html_a), ("http://b.example/y", html_b)]:
         assert got[url] == oracle_document(url, html, None)["extracted_text"]
+
+
+def test_orc_pages_source_round_trip(spark, tmp_path):
+    """Pages written as ORC read back through read_pages (extension
+    dispatch) with identical content and pass the schema contract."""
+    from pdf_extraction_spark.sources.pages import read_pages
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F
+
+    pages = src.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    path = str(tmp_path / "pages.orc")
+    pages.write.mode("overwrite").orc(path)
+    back = read_pages(spark, path)
+    a = {r["url"]: r["text"] for r in pages.collect()}
+    b = {r["url"]: r["text"] for r in back.collect()}
+    assert a == b
