@@ -1713,14 +1713,34 @@ FROM b
 
 
 # ---------------------------------------------------------------------------
-# Full-pipeline entries (kernel semantics; no SQL oracle — rows-only check;
-# byte-level correctness is covered by pytest golden fixtures)
+# Full-pipeline entries (kernel semantics, value-checked: the pipeline's
+# scalar projection has an ANALYTIC DuckDB twin — see _ORACLE_PIPELINE —
+# and byte-level correctness additionally runs in pytest golden fixtures)
 # ---------------------------------------------------------------------------
 
 def q_extraction_pipeline(spark, sf_dir):
     """The flagship extraction: synthetic pages from `documents` (multi-page
     via \\x0c, Field: Value lines) through the full kernel — direct fields,
-    OCR-style page fields, spans, error containment."""
+    OCR-style page fields, spans, error containment.
+
+    The scalar projection is value-checked against an analytically
+    constructed DuckDB oracle (_ORACLE_PIPELINE).  The input is built so
+    every kernel decision is provable from the corpus invariants (verified
+    at every sf: `text` is non-empty `[a-z ]`-only — no colons, digits, or
+    line boundaries; `lang` is 2 letters; `source` is `srcN`):
+
+      * pages = [P1, P2] (one \\x0c), both non-empty -> extracted_text is
+        P1+"\\n"+P2+"\\n" (F4) and its length is computable in SQL;
+      * direct fields (F6-F10) over the 9 lines: Title, Lang, Time, Body,
+        Chars (the second `Lang:` line last-wins into the same key; the
+        no-colon lines are skipped) -> n_fields = 5;
+      * OCR state machine (F11-F13): P1 keeps {Lang:<lang>, plain line...,
+        Lang:<lang>-dup} (the Title line has digits and precedes any
+        field -> dropped; Body has >5 words -> appended), P2 keeps
+        {Second Page Header} -> both page dicts non-empty -> 2;
+      * spans: 1 body + 5 field-name hits + 0 dates (no `\\d\\d\\d\\d-`,
+        no `/`, no capitalized month in the corpus) -> n_spans = 6.
+    """
     from pdf_extraction_spark.operators.extract import (
         extract_documents,
         salted_repartition,
@@ -1746,6 +1766,20 @@ def q_extraction_pipeline(spark, sf_dir):
         F.size("spans").cast("long").alias("n_spans"),
         "error",
     )
+
+
+_ORACLE_PIPELINE = f"""
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       'text' AS doc_kind,
+       CAST(length({_DK_PAGE} || chr(10) || 'Second Page Header' || chr(10)
+                   || substr(text, 1, 120) || ' 42' || chr(10)) AS BIGINT)
+         AS text_len,
+       CAST(5 AS BIGINT) AS n_fields,
+       CAST(2 AS BIGINT) AS n_pages_with_fields,
+       CAST(6 AS BIGINT) AS n_spans,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents
+"""
 
 
 def q_extract_ocr_fields(spark, sf_dir):
@@ -2046,7 +2080,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_errors": _ORACLE_EXTRACT_ERRORS,
         "llm_enrich_error": _ORACLE_LLM_ERROR,
         "csv_export_bytes": _ORACLE_CSV_BYTES,
-        # extraction_pipeline: kernel state machine — rows-only check
+        "extraction_pipeline": _ORACLE_PIPELINE,
         "text_stats": _ORACLE_TEXT_STATS,
         "text_quality": _ORACLE_QUALITY,
         "quality_filter": _ORACLE_QUALITY_FILTER,
