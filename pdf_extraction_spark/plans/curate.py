@@ -35,6 +35,23 @@ def _manifest_path(out_path: str, group: int) -> str:
     return os.path.join(out_path, "_manifests", f"group-{group}.json")
 
 
+def content_fingerprint(text_col: str = "text") -> F.Column:
+    """md5 of the whitespace-normalized, lowercased RAW text — THE exact-dup
+    identity of the curation pipeline (exact-dup = raw byte equality up to
+    case/whitespace).
+
+    Both the dedup key (``curated_docs``) and the commit-group key
+    (``run_curation``) are built from THIS expression, which is what makes
+    per-group dedup equal global dedup: every future duplicate of a
+    document lands in the same commit group as its twin.  Fingerprinting
+    any *derived* text (e.g. post-PII-scrub) here would break that
+    invariant — two raw-distinct docs can scrub to identical text, share
+    the derived fingerprint, yet hash to different groups and both
+    survive.
+    """
+    return F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+
+
 def curated_docs(
     docs: DataFrame,
     *,
@@ -45,8 +62,9 @@ def curated_docs(
 ) -> DataFrame:
     """The curation dataflow for one slice, as a single declarative plan:
 
-    gate (quality_filter join) -> keep-filter -> pii_scrub -> fingerprint
-    -> dedup (row_number over fingerprint, keep min id).
+    gate (quality_filter join) -> keep-filter -> fingerprint (RAW text,
+    ``content_fingerprint``) -> pii_scrub -> dedup (row_number over
+    fingerprint, keep min id).
 
     One shuffle total (the dedup window on fingerprint); everything else
     is scan-local.  Returns every surviving row plus its fingerprint.
@@ -56,15 +74,14 @@ def curated_docs(
         id_col,
     )
     kept = gated.filter(F.col("keep")).drop("keep", "drop_reasons")
-    scrubbed = kept.join(pii_scrub(kept, id_col, text_col), id_col).drop(text_col)
-    fp = scrubbed.withColumn(
-        "fingerprint",
-        F.md5(F.regexp_replace(F.lower(F.trim(F.col("scrubbed_text"))), r"\s+", " ")),
-    )
+    # fingerprint the RAW text (the same expression run_curation's group
+    # key is derived from) BEFORE the scrub — see content_fingerprint
+    fp = kept.withColumn("fingerprint", content_fingerprint(text_col))
+    scrubbed = fp.join(pii_scrub(fp, id_col, text_col), id_col).drop(text_col)
     rn = F.row_number().over(
         Window.partitionBy("fingerprint").orderBy(F.col(id_col))
     )
-    return fp.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    return scrubbed.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
 
 
 def run_curation(
@@ -87,16 +104,11 @@ def run_curation(
     """
     docs = spark.read.parquet(docs_path)
     # group key must be identical for every future duplicate of a doc ->
-    # derive it from the same normalized-text fingerprint dedup uses.
-    # Computing it on the RAW text is correct because the gate and scrub
-    # are deterministic functions of the text: byte-equal raw text (the
-    # exact-dup definition) implies byte-equal scrubbed text.
-    group_key = F.pmod(
-        F.xxhash64(
-            F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
-        ),
-        F.lit(groups),
-    )
+    # derive it from the SAME fingerprint expression dedup keys on
+    # (content_fingerprint of the raw text), so duplicates can never be
+    # split across commit groups and the output is independent of
+    # ``groups``.
+    group_key = F.pmod(F.xxhash64(content_fingerprint("text")), F.lit(groups))
     done = committed_groups(out_path) if resume else set()
     summary = {"groups": groups, "skipped": sorted(done), "committed": []}
     committed_count = 0

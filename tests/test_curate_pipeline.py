@@ -121,6 +121,78 @@ def test_curation_rerun_invariance(spark, curate_input, tmp_path):
     assert checks(out_a) == checks(out_b)
 
 
+def test_pii_twins_and_groups_invariance(spark, tmp_path):
+    """The dedup key and the commit-group key must be the SAME expression
+    (content_fingerprint of the raw text), making the output independent
+    of the ``groups`` count.
+
+    Regression: when the dedup key was the scrubbed-text fingerprint while
+    the group key hashed raw text, documents differing ONLY in PII scrubbed
+    to identical text (one shared dedup fingerprint) yet hashed to
+    different groups — whether one or both survived depended on where the
+    group boundary fell, i.e. on ``groups``.
+    """
+    from pdf_extraction_spark.operators.text_analysis import quality_filter
+    from pdf_extraction_spark.plans.curate import run_curation
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    base = (
+        d.join(quality_filter(d, "doc_id", "text"), "doc_id")
+        .filter(F.col("keep"))
+        .orderBy("doc_id")
+        .limit(30)
+        .drop("keep", "drop_reasons")
+    )
+    base_text = base.orderBy("doc_id").first()["text"]
+
+    def planted(doc_id, text):
+        return spark.createDataFrame(
+            [(doc_id, text, "en", "src0", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    # pair differing ONLY in PII -> identical scrubbed text, distinct raw
+    # fingerprints -> BOTH must survive, in every grouping
+    t_alice = base_text + " contact alice@example.com now"
+    t_bob = base_text + " contact bob@other.org now"
+    # byte-identical twins carrying PII -> ONE must survive
+    t_twin = base_text + " reach carol@example.io today"
+    docs = base
+    for i, t in enumerate([t_alice, t_bob, t_twin, t_twin]):
+        docs = docs.unionByName(planted(9001 + i, t))
+    src = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+
+    results = {}
+    for groups in (1, 5):
+        out = str(tmp_path / f"out-g{groups}")
+        run_curation(spark, src, out, groups=groups)
+        rows = spark.read.parquet(os.path.join(out, "group=*")).collect()
+        results[groups] = sorted((r["doc_id"], r["fingerprint"]) for r in rows)
+
+    # output independent of the group count
+    assert results[1] == results[5]
+    by_id = {doc_id: fp for doc_id, fp in results[1]}
+    # both PII-differing docs survive (they are distinct raw documents)...
+    assert 9001 in by_id and 9002 in by_id
+    assert by_id[9001] != by_id[9002]
+    # ...while the raw-identical twins deduped to the min id
+    assert 9003 in by_id and 9004 not in by_id
+    # and the scrub actually fired on the planted docs (the pair would
+    # trivially "both survive" if the emails were never redacted)
+    scrubbed = {
+        r["doc_id"]: (r["scrubbed_text"], r["n_emails"])
+        for r in spark.read.parquet(
+            os.path.join(str(tmp_path / "out-g1"), "group=*")
+        ).collect()
+        if r["doc_id"] in (9001, 9002)
+    }
+    assert scrubbed[9001] == scrubbed[9002]
+    assert scrubbed[9001][1] == 1
+
+
 def test_compact_group_preserves_content(spark, tmp_path):
     """Compaction rewrites a committed group to fewer files; content is
     checksum-verified before the swap and byte-identical after."""
