@@ -28,6 +28,10 @@ def main(argv=None) -> int:
     p.add_argument("--partitions", type=int, default=None, help="shuffle partitions")
     p.add_argument("--salt", type=int, default=8, help="size-salt buckets for skew")
     p.add_argument("--resume", action="store_true", help="skip committed groups")
+    p.add_argument("--groups-per-pass", type=int, default=None,
+                   help="groups extracted per input pass (default: all "
+                        "uncommitted groups in one pass; lower it to add "
+                        "commit barriers on very long jobs)")
     p.add_argument("--cpus", type=int, default=None, help="local[N] cores")
     p.add_argument("--format", choices=["parquet", "jsonl", "warc"],
                    default="parquet",
@@ -50,6 +54,7 @@ def main(argv=None) -> int:
         input_format=args.format,
         groups=args.groups,
         resume=args.resume,
+        groups_per_pass=args.groups_per_pass,
     )
     summary["total_wall_sec"] = round(time.monotonic() - t0, 3)
     n = sum(

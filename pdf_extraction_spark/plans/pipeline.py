@@ -9,10 +9,12 @@ JSON manifest per group — same resume semantics, same lineage content
 (input files, row counts, checksums).
 
 Scale notes (100 TB / 10^12 docs):
-  * groups = pmod(xxhash64(url), G): on Iceberg this is partition-predicate
-    pushdown on the bucket spec — each group scans only its own files, not
-    1/G of everything.  In the parquet sandbox it is a predicate on the
-    scan (evaluated post-read; acceptable at test scale, free on Iceberg).
+  * groups = pmod(xxhash64(url), G): all uncommitted groups are extracted
+    in ONE input pass (partitionBy(group) staging write + ordered atomic
+    per-group rename commits), so plain parquet reads the corpus once for
+    any G; on Iceberg the group predicate additionally prunes files via
+    the bucket spec.  ``groups_per_pass`` trades extra scans for more
+    frequent commit barriers on very long jobs.
   * checksums use bit_xor(xxhash64(...)) — order-independent, overflow-free
     (Spark 4 runs ANSI mode; sum() of hashes would overflow).
   * per-input-file lineage comes from input_file_name() BEFORE the shuffle,
@@ -28,7 +30,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pdf_extraction_spark.operators.extract import extract_documents, salted_repartition
+from pdf_extraction_spark.operators.extract import extract_documents
 
 MANIFEST_DIR = "_manifests"
 
@@ -56,19 +58,22 @@ def committed_groups(out_path: str) -> set[int]:
     return out
 
 
+def _row_hash():
+    """Per-row xxhash64 over the semantic columns (checksum ingredient)."""
+    return F.xxhash64(
+        "url",
+        F.coalesce("extracted_text", F.lit("\x00null")),
+        F.coalesce(F.to_json("fields"), F.lit("\x00null")),
+        F.coalesce(F.to_json("page_fields"), F.lit("\x00null")),
+        F.coalesce("error", F.lit("\x00null")),
+    )
+
+
 def _checksum_exprs():
     """(count, order-independent xxhash64-xor) over the semantic columns."""
     return [
         F.count(F.lit(1)).alias("n"),
-        F.bit_xor(
-            F.xxhash64(
-                "url",
-                F.coalesce("extracted_text", F.lit("\x00null")),
-                F.coalesce(F.to_json("fields"), F.lit("\x00null")),
-                F.coalesce(F.to_json("page_fields"), F.lit("\x00null")),
-                F.coalesce("error", F.lit("\x00null")),
-            )
-        ).alias("checksum"),
+        F.bit_xor(_row_hash()).alias("checksum"),
     ]
 
 
@@ -89,8 +94,24 @@ def run_extraction(
     resume: bool = False,
     fail_after_group: int | None = None,
     input_format: str = "parquet",
+    groups_per_pass: int | None = None,
 ) -> dict:
     """Run the pipeline; returns a summary dict (also persisted per group).
+
+    All uncommitted groups are processed in ONE pass by default: the input
+    is scanned once (plus one column-pruned lineage aggregate over `url`),
+    extracted, and written ``partitionBy(group)`` into a staging directory;
+    groups are then COMMITTED in order by an atomic per-group rename +
+    manifest write, preserving the per-group resume granularity without
+    the per-group input re-scan the previous formulation paid on plain
+    parquet (on an Iceberg bucket spec the group predicate was pruned, but
+    the sandbox fallback scanned the corpus once per group).
+
+    ``groups_per_pass`` bounds how many groups share one pass: a kill
+    mid-pass loses the whole pass's work (nothing of it is committed), so
+    a 10-hour crawl job may prefer e.g. 4 passes of G/4 groups — one extra
+    scan per pass buys 4 intermediate commit barriers.  Default: all
+    uncommitted groups in a single pass.
 
     ``fail_after_group`` is a test hook: raise after committing that many
     groups, simulating a killed job for the resume test.
@@ -98,6 +119,10 @@ def run_extraction(
     (crawl-dump interchange; html carried as base64), or "warc"
     (Common Crawl's native archive format, .warc/.warc.gz).
     """
+    import shutil
+
+    from pyspark.sql import Observation
+
     from pdf_extraction_spark.sources.pages import read_pages, read_pages_jsonl
     from pdf_extraction_spark.sources.warc import read_pages_warc
 
@@ -112,61 +137,110 @@ def run_extraction(
         # the primary path too (catalog table or parquet)
         pages = read_pages(spark, pages_path)
     done = committed_groups(out_path) if resume else set()
+    todo = [g for g in range(groups) if g not in done]
     summary = {"groups": groups, "skipped": sorted(done), "committed": []}
     committed_count = 0
+    group_col = F.pmod(F.xxhash64("url"), F.lit(groups))
+    if not groups_per_pass:
+        groups_per_pass = max(1, len(todo))
 
-    for g in range(groups):
-        if g in done:
-            continue
+    for i in range(0, len(todo), groups_per_pass):
+        batch = todo[i : i + groups_per_pass]
         t0 = time.monotonic()
-        group_pages = pages.filter(F.pmod(F.xxhash64("url"), F.lit(groups)) == g)
+        batch_pages = pages.filter(group_col.isin([int(g) for g in batch]))
 
-        # per-input-file lineage, computed JVM-side pre-shuffle
-        lineage_rows = [
-            {
-                "input_file": r["input_file"],
-                "n_rows": int(r["n_rows"]),
-                "input_checksum": int(r["chk"] or 0),
-            }
-            for r in group_pages.groupBy(
-                F.input_file_name().alias("input_file")
+        # per-(group, input file) lineage, computed JVM-side pre-shuffle —
+        # one aggregate job over the column-pruned `url` scan for the
+        # whole batch
+        lineage: dict[int, list] = {g: [] for g in batch}
+        for r in (
+            batch_pages.groupBy(
+                group_col.alias("grp"), F.input_file_name().alias("input_file")
             )
             .agg(
                 F.count("*").alias("n_rows"),
                 F.bit_xor(F.xxhash64("url")).alias("chk"),
             )
             .collect()
-        ]
+        ):
+            lineage[int(r["grp"])].append(
+                {
+                    "input_file": r["input_file"],
+                    "n_rows": int(r["n_rows"]),
+                    "input_checksum": int(r["chk"] or 0),
+                }
+            )
 
-        result = extract_documents(
-            salted_repartition(group_pages, num_partitions, salt_buckets)
+        # ONE shuffle keyed on (group, salted url-hash): colocates each
+        # group's rows so the partitionBy write emits ~salt-many files per
+        # group instead of |batch| files from every task, while the salt
+        # keeps ~4x num_partitions key-buckets for balance and spreads
+        # size-skewed documents like salted_repartition does
+        salt = max(1, (num_partitions * 4) // max(1, len(batch)))
+        key = F.xxhash64("url")
+        if salt_buckets > 1:
+            size_col = F.coalesce(
+                F.length("text").cast("long"),
+                F.length("html").cast("long"),
+                F.lit(0),
+            )
+            key = F.xxhash64("url", (size_col % salt_buckets).cast("string"))
+        spread = batch_pages.repartition(
+            num_partitions, group_col, F.pmod(key, F.lit(salt))
         )
-        # checksum on the WRITE path via observed metrics — at 100 TB,
+        result = extract_documents(spread).withColumn("group", group_col)
+
+        # checksums on the WRITE path via observed metrics — at 100 TB,
         # re-reading the committed output just to checksum it doubles
-        # output I/O per commit group
-        from pyspark.sql import Observation
+        # output I/O per commit group; per-group totals come from
+        # conditional aggregates on the group column (aggs skip nulls)
+        per_group_metrics = []
+        for g in batch:
+            is_g = F.col("group") == g
+            per_group_metrics.append(
+                F.count(F.when(is_g, F.lit(1))).alias(f"n_{g}")
+            )
+            per_group_metrics.append(
+                F.bit_xor(F.when(is_g, _row_hash())).alias(f"chk_{g}")
+            )
+        obs = Observation(f"pass-{i}-checksums")
+        result = result.observe(obs, *per_group_metrics)
 
-        obs = Observation(f"group-{g}-checksum")
-        result = result.observe(obs, *_checksum_exprs())
-        group_dir = os.path.join(out_path, f"group={g}")
-        result.write.mode("overwrite").parquet(group_dir)
-
+        staging = os.path.join(out_path, "_staging")
+        result.write.mode("overwrite").partitionBy("group").parquet(staging)
         metrics = obs.get  # blocks only until the finished write's metrics land
-        n_rows, checksum = int(metrics["n"]), int(metrics["checksum"] or 0)
-        manifest = {
-            "group": g,
-            "n_rows": n_rows,
-            "output_checksum": checksum,
-            "lineage": sorted(lineage_rows, key=lambda r: r["input_file"]),
-            "wall_sec": round(time.monotonic() - t0, 3),
-            "num_partitions": num_partitions,
-            "salt_buckets": salt_buckets,
-        }
-        _write_manifest_atomic(_manifest_path(out_path, g), manifest)
-        summary["committed"].append(g)
-        committed_count += 1
-        if fail_after_group is not None and committed_count >= fail_after_group:
-            raise RuntimeError(f"simulated kill after {committed_count} group(s)")
+        pass_wall = round(time.monotonic() - t0, 3)
+
+        # ordered per-group commits: atomic dir rename + manifest — the
+        # same commit points the per-group formulation had
+        for g in batch:
+            src = os.path.join(staging, f"group={g}")
+            dst = os.path.join(out_path, f"group={g}")
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)  # stale uncommitted leftover
+            if os.path.isdir(src):
+                os.replace(src, dst)
+            else:
+                os.makedirs(dst)  # group with zero rows
+            manifest = {
+                "group": g,
+                "n_rows": int(metrics[f"n_{g}"]),
+                "output_checksum": int(metrics[f"chk_{g}"] or 0),
+                "lineage": sorted(
+                    lineage[g], key=lambda r: r["input_file"]
+                ),
+                "wall_sec": pass_wall,  # wall of the shared pass
+                "num_partitions": num_partitions,
+                "salt_buckets": salt_buckets,
+            }
+            _write_manifest_atomic(_manifest_path(out_path, g), manifest)
+            summary["committed"].append(g)
+            committed_count += 1
+            if fail_after_group is not None and committed_count >= fail_after_group:
+                raise RuntimeError(
+                    f"simulated kill after {committed_count} group(s)"
+                )
+        shutil.rmtree(staging, ignore_errors=True)
     return summary
 
 

@@ -74,6 +74,50 @@ def test_resume_checksums_match_between_runs(spark, pages_unit, tmp_path):
     assert checksums(a) == checksums(b)  # content invariant to partitioning
 
 
+def test_groups_per_pass_batches_and_matches_single_pass(
+    spark, pages_unit, tmp_path
+):
+    """The batched formulation (one input pass per groups_per_pass groups)
+    commits the same per-group rows + checksums as per-group passes, and a
+    kill between batches resumes correctly."""
+    from pdf_extraction_spark.plans.pipeline import (
+        MANIFEST_DIR,
+        committed_groups,
+        read_extractions,
+        run_extraction,
+    )
+
+    single = str(tmp_path / "single")  # default: all groups, one pass
+    per_group = str(tmp_path / "pergroup")  # old formulation: one pass each
+    run_extraction(spark, pages_unit, single, groups=4)
+    run_extraction(spark, pages_unit, per_group, groups=4, groups_per_pass=1)
+
+    def manifests(out):
+        d = os.path.join(out, MANIFEST_DIR)
+        return {
+            m["group"]: (m["n_rows"], m["output_checksum"], m["lineage"])
+            for m in (json.load(open(os.path.join(d, f))) for f in os.listdir(d))
+        }
+
+    assert manifests(single) == manifests(per_group)
+
+    # kill after 3 commits with 2-group batches -> {0,1,2} committed
+    killed = str(tmp_path / "killed")
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_extraction(
+            spark, pages_unit, killed, groups=4,
+            groups_per_pass=2, fail_after_group=3,
+        )
+    assert committed_groups(killed) == {0, 1, 2}
+    run_extraction(
+        spark, pages_unit, killed, groups=4, groups_per_pass=2, resume=True
+    )
+    assert manifests(killed) == manifests(single)
+    assert _collect_sorted(read_extractions(spark, killed)) == _collect_sorted(
+        read_extractions(spark, single)
+    )
+
+
 def test_skew_salted_partitions_balanced(spark, pages_unit):
     """Zipf-skewed hosts: salted repartition keeps rows per partition
     within 4x of the median (FIXTURES.md test matrix)."""
