@@ -8,8 +8,11 @@ written never authenticates).  A remote GPU model is non-deterministic and
 out of scope for a byte-identical engine (SURVEY §2 F17), so this operator
 keeps the exact dataflow shape — batched requests from inside
 ``mapInPandas``, one `generated_text` per document — behind a pure
-function of the prompt.  Swapping `_stub_generate` for a real batched HTTP
-call is the only change a production deployment needs.
+function of the prompt.  The production counterpart is
+``operators/llm_client.enrich_llm_http`` (real batched HTTP with
+timeout/retry/rate-limit and an injectable transport); both share
+LLM_SCHEMA and the F16 prompt assembly, so they are interchangeable
+behind one operator contract.
 """
 
 from __future__ import annotations
