@@ -1911,6 +1911,67 @@ FROM documents
 """
 
 
+def q_extraction_skewed(spark, sf_dir):
+    """Flagship kernel over a SIZE-SKEWED corpus with the oversize guard:
+    every 25th document's body is replicated 12x (a >10x size outlier —
+    the pathological-host shape salting exists for), the pages flow
+    through ``salted_repartition(salt_buckets=8)`` so the giants spread
+    across salt buckets instead of stacking on one partition (the salted
+    plan is asserted in tests/test_plan_quality.py), and
+    ``max_doc_chars=2000`` routes documents whose page text exceeds the
+    cap onto ``error`` (F18) with the exact deterministic message the
+    oracle reconstructs from ``length()``.  Survivors extract exactly
+    the fields {Title, Body} (the corpus body is colon-free)."""
+    from pdf_extraction_spark.operators.extract import (
+        extract_documents,
+        salted_repartition,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    body = F.expr("repeat(text, CASE WHEN doc_id % 25 = 0 THEN 12 ELSE 1 END)")
+    pages = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("binary").alias("html"),
+        F.concat(
+            F.lit("Title: "), F.col("source"), F.lit(" report\n"),
+            F.lit("Body: "), body,
+        ).alias("text"),
+    )
+    out = extract_documents(
+        salted_repartition(pages, 32, salt_buckets=8), max_doc_chars=2000
+    )
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "doc_kind",
+        F.col("error").isNotNull().alias("failed"),
+        F.when(F.col("error").isNull(), F.size("fields"))
+        .cast("long")
+        .alias("n_fields"),
+        "error",
+    )
+
+
+_ORACLE_EXTRACTION_SKEWED = """
+WITH p AS (
+  SELECT doc_id,
+         'Title: ' || source || ' report' || chr(10) || 'Body: '
+           || repeat(text, CASE WHEN doc_id % 25 = 0 THEN 12 ELSE 1 END)
+           AS page
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(page) > 2000 THEN 'error' ELSE 'text' END AS doc_kind,
+       length(page) > 2000 AS failed,
+       CASE WHEN length(page) > 2000 THEN NULL
+            ELSE CAST(2 AS BIGINT) END AS n_fields,
+       CASE WHEN length(page) > 2000
+            THEN 'ValueError: document exceeds max_doc_chars=2000 ('
+                 || CAST(length(page) AS VARCHAR) || ')'
+            ELSE NULL END AS error
+FROM p
+"""
+
+
 def q_llm_enrich_error(spark, sf_dir):
     """F17 error-dict branch (app.py:80-81): generations whose prompt
     exceeds the model's input budget fail onto ``error``; exactly one of
@@ -2027,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_pipeline": q_extraction_pipeline,
         "extract_ocr_fields": q_extract_ocr_fields,
         "extract_errors": q_extract_errors,
+        "extraction_skewed": q_extraction_skewed,
         "llm_enrich_error": q_llm_enrich_error,
         "csv_export_bytes": q_csv_export_bytes,
         # text analysis
@@ -2090,6 +2152,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_nonempty_by_lang": _ORACLE_NONEMPTY,
         "extract_ocr_fields": _ORACLE_OCR_FIELDS,
         "extract_errors": _ORACLE_EXTRACT_ERRORS,
+        "extraction_skewed": _ORACLE_EXTRACTION_SKEWED,
         "llm_enrich_error": _ORACLE_LLM_ERROR,
         "csv_export_bytes": _ORACLE_CSV_BYTES,
         "extraction_pipeline": _ORACLE_PIPELINE,

@@ -52,6 +52,24 @@ def test_extraction_stage_is_arrow_batched(spark, pages_unit):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_skewed_entry_plan_is_salted_and_arrow_batched(spark):
+    """The size-skewed driver entry (extraction_skewed) must shuffle on
+    the SALTED key — xxhash64(url, size-bucket), not plain url — so 10x
+    size outliers spread across salt buckets, and its kernel stage must
+    stay Arrow-batched."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["extraction_skewed"](spark, "/root/testdata/sf0.001")
+    plan = _formatted_plan(q)
+    exch = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert exch, plan
+    # the salted repartition key hashes (url, length-derived salt) — two
+    # arguments inside xxhash64, visible in the partitioning expression
+    assert any("xxhash64(url" in l and "%" in l for l in exch), exch
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_exact_dedup_has_partial_aggregation(spark, pages_unit):
     """One shuffle, with a map-side partial agg before the exchange."""
     from pdf_extraction_spark.operators.dedup import exact_dedup
