@@ -25,7 +25,18 @@ stable across platforms:
 from __future__ import annotations
 
 import re
+import sys
 from html.parser import HTMLParser
+
+# The fast scanner below mirrors observable branches of CPython's
+# html/parser.py — behavior that may drift between interpreter versions.
+# Interpreters on which the differential suites (tests/test_html_fast.py,
+# tests/test_html_property.py) have proven scanner == HTMLParser:
+VALIDATED_PYTHON = ((3, 11),)
+# On any other interpreter extract_main_text routes through the spec
+# parser (stdlib HTMLParser — correct by construction, ~3x slower) until
+# the differential suites are re-run and the version added above.
+_FAST_SCANNER_VALIDATED = sys.version_info[:2] in VALIDATED_PYTHON
 
 # NB: void tags (meta, link, br, img, hr, input) must never enter the drop
 # stack — they have no end tag and would swallow the rest of the document.
@@ -470,10 +481,12 @@ def extract_main_text(html_bytes: bytes, encoding: str = "utf-8") -> str:
     spec implementation for the rare constructs the scanner does not
     replicate (marked sections ``<![``).  Byte-equivalence of the two paths
     is enforced by tests/test_html_fast.py (fixture corpus + adversarial
-    fuzz) in addition to the golden byte-identity suite.
+    fuzz) in addition to the golden byte-identity suite.  The fast path is
+    gated on VALIDATED_PYTHON: on an interpreter the differential suites
+    have not been re-run against, the spec parser handles every document.
     """
     src = _decode_html(html_bytes, encoding)
-    result = _fast_scan(src)
+    result = _fast_scan(src) if _FAST_SCANNER_VALIDATED else None
     if result is None:
         parser = _Extractor()
         parser.feed(src)

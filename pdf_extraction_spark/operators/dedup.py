@@ -352,6 +352,7 @@ def dedup_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     # strictly drops on any change — a 1-row aggregate is the convergence
     # test (no join against the previous round needed)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nbr = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
@@ -364,8 +365,20 @@ def dedup_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # a truncated fixpoint silently returns WRONG cluster ids (a long
+        # pair chain still propagating); callers could not tell it apart
+        # from a converged one — fail instead.  max_iter bounds rounds by
+        # the component diameter; raise it (or precompose edges with the
+        # large-star/small-star contraction, O(log n) rounds) for corpora
+        # with pathological chain-shaped near-dup graphs.
+        raise RuntimeError(
+            f"dedup_components did not converge within max_iter={max_iter} "
+            "rounds; cluster ids would be incorrect for long pair chains"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

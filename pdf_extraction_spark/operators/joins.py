@@ -19,6 +19,19 @@ from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 
+def _assert_no_reserved(reserved: tuple[str, ...], *dfs: DataFrame) -> None:
+    """The join constructions stage work in internal columns; an input
+    that already carries one of those names would silently collide and
+    corrupt results — fail fast instead."""
+    for df in dfs:
+        clash = sorted(set(df.columns) & set(reserved))
+        if clash:
+            raise ValueError(
+                f"input columns {clash} collide with reserved internal "
+                f"names {sorted(reserved)}; rename them before the join"
+            )
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,
@@ -40,6 +53,7 @@ def asof_join_backward(
     Output: every left column, plus ``{prefix}{ts_col}`` and
     ``{prefix}{c}`` for each c in right_cols.
     """
+    _assert_no_reserved(("_k", "_ts", "_side", "_l", "_r", "_rm"), left, right)
     r_payload = [ts_col] + list(right_cols)
     l_struct = StructType([StructField(f.name, f.dataType, True) for f in left.schema])
     r_struct = StructType(
@@ -103,6 +117,7 @@ def interval_join_bucketed(
 
     Output: every point column, plus each interval column prefixed.
     """
+    _assert_no_reserved(("_bkt", "_ik"), points, intervals)
     p = points.withColumn(
         "_bkt", F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
     )

@@ -62,8 +62,13 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
             validate_pages_schema(df)
             return df
     # columnar path: pick the reader by extension (parquet default; ORC is
-    # the other splittable columnar format crawls ship in)
-    if source.rstrip("/").endswith(".orc") or "/orc" in source.rstrip("/")[-8:]:
+    # the other splittable columnar format crawls ship in).  Only an exact
+    # `.orc` extension or a directory literally named `orc` selects the
+    # ORC reader — substring matching would misroute paths like .../orchard
+    import os as _os
+
+    base = _os.path.basename(source.rstrip("/"))
+    if base.endswith(".orc") or base == "orc":
         df = spark.read.orc(source)
     else:
         df = spark.read.parquet(source)

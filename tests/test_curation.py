@@ -42,6 +42,20 @@ def test_dedup_components_long_chain_converges(spark):
     assert {r["cluster_id"] for r in rows} == {100}
 
 
+def test_dedup_components_raises_on_nonconvergence(spark):
+    """A truncated fixpoint must raise, not silently return wrong ids: a
+    12-node path needs ~11 propagation rounds, far beyond max_iter=2."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "id_a long, id_b long"
+    )
+    from pdf_extraction_spark.operators.dedup import dedup_components
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(pairs, max_iter=2)
+
+
 def test_pii_scrub_counts_and_redaction(spark):
     df = spark.createDataFrame(
         [

@@ -23,6 +23,30 @@ def _both(html: str) -> tuple[str, str]:
     return extract_main_text(b), extract_main_text_spec(b)
 
 
+def test_interpreter_is_validated_for_fast_scanner():
+    """The fast scanner mirrors CPython html/parser.py internals, which
+    may drift between interpreter versions.  On a new interpreter this
+    test fails FIRST and loudly: re-run this differential suite plus
+    tests/test_html_property.py on the new version, then add it to
+    html_extract.VALIDATED_PYTHON.  Until the pin is extended,
+    extract_main_text routes every document through the spec parser (so
+    production stays correct, just slower) — and the `_both` comparisons
+    in this file would be vacuous, which is why this assertion gates the
+    whole suite."""
+    import sys
+
+    from pdf_extraction_spark.html_extract import (
+        _FAST_SCANNER_VALIDATED,
+        VALIDATED_PYTHON,
+    )
+
+    assert sys.version_info[:2] in VALIDATED_PYTHON and _FAST_SCANNER_VALIDATED, (
+        f"Python {sys.version_info[:2]} is not in VALIDATED_PYTHON "
+        f"{VALIDATED_PYTHON}: re-run the HTML differential suites on this "
+        "interpreter and extend the pin in pdf_extraction_spark/html_extract.py"
+    )
+
+
 ADVERSARIAL = [
     "",
     "plain text only, no tags at all",

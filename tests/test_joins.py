@@ -99,3 +99,38 @@ def test_interval_join_plans_equi_join(spark):
         start_col="start_ts", end_col="end_ts", bucket_seconds=30,
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_reserved_internal_names_rejected(spark):
+    """Inputs already carrying an internal staging column must raise, not
+    silently corrupt the construction."""
+    import pytest
+
+    from pdf_extraction_spark.operators.joins import (
+        asof_join_backward,
+        interval_join_bucketed,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10), 0)], "event_id long, user_id long, ts timestamp, _ts long"
+    )
+    right = spark.createDataFrame(
+        [(100, _ts(5), 1.0)], "user_id long, ts timestamp, px double"
+    )
+    with pytest.raises(ValueError, match="_ts"):
+        asof_join_backward(
+            left, right, on="user_id", ts_col="ts", right_cols=["px"]
+        )
+
+    points = spark.createDataFrame(
+        [(1, 7, _ts(9), 0)], "event_id long, user_id long, ts timestamp, _bkt long"
+    )
+    intervals = spark.createDataFrame(
+        [(7, _ts(1), _ts(99))],
+        "user_id long, start_ts timestamp, end_ts timestamp",
+    )
+    with pytest.raises(ValueError, match="_bkt"):
+        interval_join_bucketed(
+            points, intervals, on="user_id", ts_col="ts",
+            start_col="start_ts", end_col="end_ts", bucket_seconds=30,
+        )

@@ -128,3 +128,24 @@ def test_orc_pages_source_round_trip(spark, tmp_path):
     a = {r["url"]: r["text"] for r in pages.collect()}
     b = {r["url"]: r["text"] for r in back.collect()}
     assert a == b
+
+
+def test_orc_dispatch_does_not_misroute_orc_prefixed_names(spark, tmp_path):
+    """A parquet directory whose last segment merely STARTS with 'orc'
+    (e.g. .../orchard) must use the parquet reader — regression for a
+    substring-based extension heuristic."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.sources.pages import read_pages
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = src.limit(5).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    path = str(tmp_path / "orchard")
+    pages.write.mode("overwrite").parquet(path)
+    assert read_pages(spark, path).count() == 5
