@@ -11,11 +11,20 @@ Layout facts the parser honors:
     full HTTP response — the html bytes start after the HTTP header's
     own CRLFCRLF.
 
-Scale shape: one WARC file = one Spark task (``binaryFile`` rows are not
-splittable — the gzip members would be, but CC ships ~1 GB files and the
-fleet parallelism comes from file count: a crawl segment has thousands).
-The parse runs in Arrow-batched mapInPandas; emitted rows carry only the
-pages columns, so the fat archive bytes never outlive the task.
+Scale shape: .warc.gz files map one-file-one-task (``binaryFile`` rows
+are not splittable and neither is a bare multi-member gzip without an
+index; CC ships ~1 GB files and fleet parallelism comes from file count —
+a crawl segment has thousands).  A large UNCOMPRESSED ``.warc`` however
+is split into ``split_bytes`` byte ranges, Hadoop-style: each task seeks
+to its range, scans forward to the first valid record boundary
+(``\\r\\n\\r\\n`` + ``WARC/1.`` magic + a parseable header block — the
+magic alone can appear inside an archived payload), and parses every
+record STARTING inside its range, reading past the range end for the
+tail record only.  That bounds task size by split_bytes regardless of
+archive size — the pathological one-giant-file case no longer serializes
+onto one core.  The parse runs in Arrow-batched mapInPandas; emitted
+rows carry only the pages columns, so the fat archive bytes never
+outlive the task.
 """
 
 from __future__ import annotations
@@ -23,6 +32,7 @@ from __future__ import annotations
 import datetime as dt
 import gzip
 import io
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -74,6 +84,21 @@ def _parse_warc_ts(v: str):
         return None
 
 
+def _append_record(out: dict, headers: dict, payload: bytes) -> None:
+    """Emit one pages row for a WARC response record (shared by the
+    whole-file and byte-range kernels)."""
+    if headers.get("warc-type") != "response":
+        return
+    url = headers.get("warc-target-uri")
+    if not url:
+        return
+    out["url"].append(url)
+    out["warc_ts"].append(_parse_warc_ts(headers.get("warc-date", "")))
+    out["html"].append(_http_body(payload))
+    out["text"].append(None)
+    out["lang"].append(None)
+
+
 def _warc_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
@@ -82,28 +107,193 @@ def _warc_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if path.endswith(".gz") or raw[:2] == b"\x1f\x8b":
                 raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
             for headers, payload in _iter_warc_records(raw):
-                if headers.get("warc-type") != "response":
-                    continue
-                url = headers.get("warc-target-uri")
-                if not url:
-                    continue
-                out["url"].append(url)
-                out["warc_ts"].append(_parse_warc_ts(headers.get("warc-date", "")))
-                out["html"].append(_http_body(payload))
-                out["text"].append(None)
-                out["lang"].append(None)
-        yield pd.DataFrame(out)
+                _append_record(out, headers, payload)
+        if out["url"]:  # an all-empty frame would lose the ts dtype
+            yield pd.DataFrame(out)
 
 
-def read_pages_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Pages from WARC/WARC.GZ files (glob or directory)."""
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
-    return files.mapInPandas(_warc_batches, schema=PAGES_SCHEMA)
+# --- byte-range splitting of uncompressed .warc files -----------------------
+
+_WARC_MAGIC = b"WARC/1."
 
 
-def write_pages_warc(rows, path: str) -> None:
-    """Build a .warc.gz from (url, warc_ts, html_bytes) triples — fixture/
-    export helper; one gzip member per record, CC-style."""
+def _open_binary(path: str):
+    """Open a binaryFile-style path for random-access reads.  Local
+    ``file:`` URIs use plain open(); other schemes go through pyarrow.fs
+    (S3/HDFS/GCS on a real cluster)."""
+    if path.startswith("file:"):
+        local = re.sub("^/+", "/", path[len("file:"):])
+        return open(local, "rb")
+    if "://" in path:
+        from pyarrow import fs as pafs
+
+        filesystem, p = pafs.FileSystem.from_uri(path)
+        return filesystem.open_input_file(p)
+    return open(path, "rb")
+
+
+def _parse_header_block(block: bytes):
+    """(headers dict, content_length) from a CRLF header block, or None
+    when it is not a plausible WARC record header."""
+    lines = block.decode("utf-8", "replace").split("\r\n")
+    if not lines or not lines[0].startswith("WARC/"):
+        return None
+    headers = {}
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    try:
+        return headers, int(headers.get("content-length", ""))
+    except ValueError:
+        return None
+
+
+def _iter_warc_records_range(f, start: int, end: int, read_chunk: int = 1 << 22):
+    """Yield (headers, payload) for every record STARTING in [start, end).
+
+    Hadoop-split semantics: a record straddling ``start`` belongs to the
+    previous split; the tail record may be read past ``end``.  Boundary
+    detection requires the ``WARC/1.`` magic preceded by the record
+    separator CRLFCRLF (or file offset 0) AND a parseable header — magic
+    bytes inside an archived payload fail the header check and are
+    skipped.  Memory is bounded by read_chunk + one record.
+    """
+    pre = 4 if start > 0 else 0
+    f.seek(start - pre)
+    base = start - pre  # file offset of buf[0]
+    buf = f.read(max(end - start, 0) + pre)
+
+    def _extend(n=read_chunk):
+        nonlocal buf
+        more = f.read(n)
+        buf += more
+        return bool(more)
+
+    def _complete_header(p):
+        """head_end offset for the record at p, extending as needed."""
+        while True:
+            he = buf.find(b"\r\n\r\n", p)
+            if he >= 0:
+                return he
+            if not _extend():
+                return -1
+
+    # align to the first valid record boundary at global offset >= start
+    pos = -1
+    search = 0
+    while True:
+        p = buf.find(_WARC_MAGIC, search)
+        if p < 0 or base + p >= end:
+            return
+        boundary_ok = (base + p == 0) or (
+            p >= 4 and buf[p - 4 : p] == b"\r\n\r\n"
+        )
+        if boundary_ok and base + p >= start:
+            he = _complete_header(p)
+            if he >= 0 and _parse_header_block(buf[p:he]) is not None:
+                pos = p
+                break
+        search = p + 1
+    # parse records sequentially from the aligned boundary
+    while True:
+        buf = buf[pos:]
+        base += pos
+        pos = 0
+        he = _complete_header(0)
+        if he < 0:
+            return
+        parsed = _parse_header_block(buf[:he])
+        if parsed is None:
+            return  # corrupt stream past a valid prefix — stop, don't guess
+        headers, length = parsed
+        body_start = he + 4
+        while len(buf) < body_start + length and _extend(
+            max(read_chunk, body_start + length - len(buf))
+        ):
+            pass
+        payload = buf[body_start : body_start + length]
+        yield headers, payload
+        pos = body_start + length
+        while True:
+            if pos + 2 > len(buf) and not _extend():
+                return
+            if buf[pos : pos + 2] == b"\r\n":
+                pos += 2
+            else:
+                break
+        if base + pos >= end:
+            return
+        if not buf.startswith(_WARC_MAGIC, pos):
+            return
+
+
+def _warc_split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+        for path, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
+            with _open_binary(str(path)) as f:
+                for headers, payload in _iter_warc_records_range(
+                    f, int(start), int(end)
+                ):
+                    _append_record(out, headers, payload)
+        if out["url"]:  # an all-empty frame would lose the ts dtype
+            yield pd.DataFrame(out)
+
+
+def _is_gzip(path: str) -> bool:
+    with _open_binary(path) as f:
+        return f.read(2) == b"\x1f\x8b"
+
+
+def read_pages_warc(
+    spark: SparkSession, path: str, *, split_bytes: int = 256 << 20
+) -> DataFrame:
+    """Pages from WARC/WARC.GZ files (glob or directory).
+
+    Uncompressed ``.warc`` files larger than ``split_bytes`` are read as
+    byte-range splits (record-boundary aligned), so one giant archive
+    parallelizes across the fleet; .gz files and small files map one file
+    to one task.  The listing reads binaryFile METADATA only (path +
+    length — the content column is pruned out of the listing scan).
+    """
+    meta = (
+        spark.read.format("binaryFile").load(path).select("path", "length").collect()
+    )
+    whole_files: list[str] = []
+    split_rows: list[tuple[str, int, int]] = []
+    for r in meta:
+        p, ln = r["path"], int(r["length"])
+        if ln > split_bytes and not p.endswith(".gz") and not _is_gzip(p):
+            for s in range(0, ln, split_bytes):
+                split_rows.append((p, s, min(s + split_bytes, ln)))
+        else:
+            whole_files.append(p)
+
+    parts: list[DataFrame] = []
+    if whole_files:
+        files = (
+            spark.read.format("binaryFile")
+            .load(whole_files)
+            .select("path", "content")
+        )
+        parts.append(files.mapInPandas(_warc_batches, schema=PAGES_SCHEMA))
+    if split_rows:
+        sdf = spark.createDataFrame(
+            split_rows, "path string, start long, end long"
+        ).repartition(len(split_rows))
+        parts.append(sdf.mapInPandas(_warc_split_batches, schema=PAGES_SCHEMA))
+    if not parts:
+        return spark.createDataFrame([], PAGES_SCHEMA)
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+def write_pages_warc(rows, path: str, *, compress: bool = True) -> None:
+    """Build a .warc(.gz) from (url, warc_ts, html_bytes) triples —
+    fixture/export helper; compressed output is one gzip member per
+    record, CC-style."""
     out = io.BytesIO()
     for url, ts, html in rows:
         http = (
@@ -119,6 +309,7 @@ def write_pages_warc(rows, path: str) -> None:
             "Content-Type: application/http; msgtype=response\r\n"
             "\r\n"
         ).encode()
-        out.write(gzip.compress(head + http + b"\r\n\r\n"))
+        record = head + http + b"\r\n\r\n"
+        out.write(gzip.compress(record) if compress else record)
     with open(path, "wb") as f:
         f.write(out.getvalue())

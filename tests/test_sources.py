@@ -149,3 +149,47 @@ def test_orc_dispatch_does_not_misroute_orc_prefixed_names(spark, tmp_path):
     path = str(tmp_path / "orchard")
     pages.write.mode("overwrite").parquet(path)
     assert read_pages(spark, path).count() == 5
+
+
+def test_warc_split_reader_matches_whole_file(spark, tmp_path):
+    """Byte-range splitting of a large uncompressed .warc: many small
+    splits must yield exactly the whole-file read's records, including a
+    payload containing a decoy record separator + WARC magic (header
+    validation must skip it) and a record far larger than the split size
+    (owned by the split containing its start; inner splits yield
+    nothing)."""
+    import datetime as dt
+    import os
+    import random
+
+    from pdf_extraction_spark.sources.warc import (
+        read_pages_warc,
+        write_pages_warc,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        body = (
+            f"<html><body><p>doc {i} " + "x" * rng.randrange(50, 400)
+            + "</p></body></html>"
+        ).encode()
+        if i == 17:
+            body = (
+                b"<p>decoy\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n"
+                b"not a real record</p>" + b"y" * 9000
+            )
+        if i == 40:
+            body = b"<p>" + b"z" * 40000 + b"</p>"
+        rows.append((f"http://ex.org/{i}", dt.datetime(2026, 1, 1, 0, 0, i % 60), body))
+    path = str(tmp_path / "big.warc")
+    write_pages_warc(rows, path, compress=False)
+    assert os.path.getsize(path) // 8192 > 6  # the small split size bites
+
+    whole = read_pages_warc(spark, path, split_bytes=1 << 30)
+    split = read_pages_warc(spark, path, split_bytes=8192)
+    a = {r["url"]: (bytes(r["html"]), r["warc_ts"]) for r in whole.collect()}
+    b = {r["url"]: (bytes(r["html"]), r["warc_ts"]) for r in split.collect()}
+    assert len(a) == 120
+    assert a == b
+    assert a["http://ex.org/17"][0].startswith(b"<p>decoy")
