@@ -31,6 +31,9 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--groups", type=int, default=4, help="commit groups (snapshots)")
     p.add_argument("--resume", action="store_true", help="skip committed groups")
+    p.add_argument("--groups-per-pass", type=int, default=None,
+                   help="groups curated per input pass (default: all "
+                        "uncommitted groups in one pass)")
     p.add_argument("--cpus", type=int, default=None, help="local[N] cores")
     p.add_argument("--min-tokens", type=int, default=10)
     p.add_argument("--min-score", type=int, default=50)
@@ -50,6 +53,7 @@ def main(argv=None) -> int:
         resume=args.resume,
         min_tokens=args.min_tokens,
         min_score=args.min_score,
+        groups_per_pass=args.groups_per_pass,
     )
     summary["total_wall_sec"] = round(time.monotonic() - t0, 3)
     mdir = os.path.join(args.output, "_manifests")

@@ -7,9 +7,11 @@ exact duplicates of a document share its fingerprint, so they land in the
 same commit group and per-group dedup IS global dedup — no cross-group
 reconciliation pass, and a resumed job stays exactly-once per group.
 
-All drop metrics come from ``df.observe`` nodes placed upstream of the
-filters inside the ONE write job per group — no extra count jobs, no
-re-read of the output.
+All uncommitted groups run in ONE input pass (partitionBy(group) staging
+write + ordered atomic per-group rename commits), and all drop metrics
+come from ``df.observe`` nodes inside that one write job (per-group
+totals via conditional aggregates) — one corpus scan for any G, no extra
+count jobs, no re-read of the output.
 """
 
 from __future__ import annotations
@@ -94,62 +96,98 @@ def run_curation(
     min_tokens: int = 10,
     min_score: int = 50,
     fail_after_group: int | None = None,
+    groups_per_pass: int | None = None,
 ) -> dict:
     """Run the curation pipeline with commit-group resume semantics.
 
-    Per group: filter input to the group's FINGERPRINT-hash slice, run
-    ``curated_docs``, write parquet, then commit a manifest carrying the
-    observed metrics (rows in / dropped by gate / dropped as dups / rows
-    out, plus an order-insensitive output checksum).
+    Like ``plans.pipeline.run_extraction``, all uncommitted groups run in
+    ONE input pass by default: one curation job writes
+    ``partitionBy(group)`` into a staging directory (per-group metrics
+    from conditional observe aggregates), then groups are committed in
+    order by atomic rename + manifest — one corpus scan for any G, the
+    same per-group resume granularity.  ``groups_per_pass`` bounds how
+    many groups share a pass (extra scans buy commit barriers on very
+    long jobs).
+
+    The group key derives from the SAME fingerprint expression dedup keys
+    on (``content_fingerprint`` of the raw text), so duplicates can never
+    be split across commit groups — the fingerprint window inside one
+    pass is therefore exactly global dedup, and the output is independent
+    of ``groups``.
     """
+    import shutil
+
     docs = spark.read.parquet(docs_path)
-    # group key must be identical for every future duplicate of a doc ->
-    # derive it from the SAME fingerprint expression dedup keys on
-    # (content_fingerprint of the raw text), so duplicates can never be
-    # split across commit groups and the output is independent of
-    # ``groups``.
     group_key = F.pmod(F.xxhash64(content_fingerprint("text")), F.lit(groups))
     done = committed_groups(out_path) if resume else set()
+    todo = [g for g in range(groups) if g not in done]
     summary = {"groups": groups, "skipped": sorted(done), "committed": []}
     committed_count = 0
+    if not groups_per_pass:
+        groups_per_pass = max(1, len(todo))
 
-    for g in range(groups):
-        if g in done:
-            continue
+    for i in range(0, len(todo), groups_per_pass):
+        batch = todo[i : i + groups_per_pass]
         t0 = time.monotonic()
-        slice_df = docs.filter(group_key == g)
+        slice_df = docs.filter(group_key.isin([int(g) for g in batch]))
 
-        obs_in = Observation(f"curate-{g}-in")
-        slice_df = slice_df.observe(obs_in, F.count(F.lit(1)).alias("n_in"))
-
+        obs_in = Observation(f"curate-pass-{i}-in")
+        slice_df = slice_df.observe(
+            obs_in,
+            *[
+                F.count(F.when(group_key == g, F.lit(1))).alias(f"n_in_{g}")
+                for g in batch
+            ],
+        )
         curated = curated_docs(
             slice_df, min_tokens=min_tokens, min_score=min_score
-        )
-        obs_out = Observation(f"curate-{g}-out")
-        curated = curated.observe(
-            obs_out,
-            F.count(F.lit(1)).alias("n_out"),
-            F.bit_xor(F.xxhash64("fingerprint")).alias("checksum"),
-            F.sum("n_emails").alias("emails_redacted"),
-            F.sum("n_phones").alias("phones_redacted"),
-        )
-        group_dir = os.path.join(out_path, f"group={g}")
-        curated.write.mode("overwrite").parquet(group_dir)
+        ).withColumn("group", F.pmod(F.xxhash64("fingerprint"), F.lit(groups)))
 
+        out_metrics = []
+        for g in batch:
+            is_g = F.col("group") == g
+            out_metrics += [
+                F.count(F.when(is_g, F.lit(1))).alias(f"n_out_{g}"),
+                F.bit_xor(F.when(is_g, F.xxhash64("fingerprint"))).alias(
+                    f"chk_{g}"
+                ),
+                F.sum(F.when(is_g, F.col("n_emails"))).alias(f"em_{g}"),
+                F.sum(F.when(is_g, F.col("n_phones"))).alias(f"ph_{g}"),
+            ]
+        obs_out = Observation(f"curate-pass-{i}-out")
+        curated = curated.observe(obs_out, *out_metrics)
+
+        staging = os.path.join(out_path, "_staging")
+        curated.write.mode("overwrite").partitionBy("group").parquet(staging)
         m_in, m_out = obs_in.get, obs_out.get
-        manifest = {
-            "group": g,
-            "n_input": int(m_in["n_in"]),
-            "n_rows": int(m_out["n_out"]),
-            "n_dropped": int(m_in["n_in"]) - int(m_out["n_out"]),
-            "emails_redacted": int(m_out["emails_redacted"] or 0),
-            "phones_redacted": int(m_out["phones_redacted"] or 0),
-            "output_checksum": int(m_out["checksum"] or 0),
-            "wall_sec": round(time.monotonic() - t0, 3),
-        }
-        _write_manifest_atomic(_manifest_path(out_path, g), manifest)
-        summary["committed"].append(g)
-        committed_count += 1
-        if fail_after_group is not None and committed_count >= fail_after_group:
-            raise RuntimeError(f"simulated kill after {committed_count} group(s)")
+        pass_wall = round(time.monotonic() - t0, 3)
+
+        for g in batch:
+            src = os.path.join(staging, f"group={g}")
+            dst = os.path.join(out_path, f"group={g}")
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)  # stale uncommitted leftover
+            if os.path.isdir(src):
+                os.replace(src, dst)
+            else:
+                os.makedirs(dst)  # group with zero surviving rows
+            n_in, n_out = int(m_in[f"n_in_{g}"]), int(m_out[f"n_out_{g}"])
+            manifest = {
+                "group": g,
+                "n_input": n_in,
+                "n_rows": n_out,
+                "n_dropped": n_in - n_out,
+                "emails_redacted": int(m_out[f"em_{g}"] or 0),
+                "phones_redacted": int(m_out[f"ph_{g}"] or 0),
+                "output_checksum": int(m_out[f"chk_{g}"] or 0),
+                "wall_sec": pass_wall,  # wall of the shared pass
+            }
+            _write_manifest_atomic(_manifest_path(out_path, g), manifest)
+            summary["committed"].append(g)
+            committed_count += 1
+            if fail_after_group is not None and committed_count >= fail_after_group:
+                raise RuntimeError(
+                    f"simulated kill after {committed_count} group(s)"
+                )
+        shutil.rmtree(staging, ignore_errors=True)
     return summary
