@@ -30,6 +30,7 @@ HEADLINE = [
     "extract_kv_sql",
     "extract_kv_kernel",
     "extract_ocr_fields",
+    "extraction_skewed",
     "text_stats",
     "text_quality",
     "quality_filter",

@@ -161,7 +161,9 @@ def _iter_warc_records_range(f, start: int, end: int, read_chunk: int = 1 << 22)
     pre = 4 if start > 0 else 0
     f.seek(start - pre)
     base = start - pre  # file offset of buf[0]
-    buf = f.read(max(end - start, 0) + pre)
+    # read a little past `end` so a record starting in the final bytes of
+    # the range still has its full magic visible to the boundary scan
+    buf = f.read(max(end - start, 0) + pre + len(_WARC_MAGIC) + 8)
 
     def _extend(n=read_chunk):
         nonlocal buf
@@ -223,6 +225,8 @@ def _iter_warc_records_range(f, start: int, end: int, read_chunk: int = 1 << 22)
                 break
         if base + pos >= end:
             return
+        while len(buf) - pos < len(_WARC_MAGIC) and _extend():
+            pass  # magic may straddle the buffer end
         if not buf.startswith(_WARC_MAGIC, pos):
             return
 

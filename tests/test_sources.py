@@ -193,3 +193,50 @@ def test_warc_split_reader_matches_whole_file(spark, tmp_path):
     assert len(a) == 120
     assert a == b
     assert a["http://ex.org/17"][0].startswith(b"<p>decoy")
+
+
+def test_warc_range_iterator_boundary_sweep():
+    """Exhaustive split-boundary sweep, pure Python: for many split sizes
+    (boundaries landing mid-magic, mid-header, mid-payload, between
+    records), the union of per-range records must equal the whole-file
+    parse — no record lost or duplicated at any alignment."""
+    import datetime as dt
+    import io
+
+    from pdf_extraction_spark.sources.warc import (
+        _iter_warc_records_range,
+        write_pages_warc,
+    )
+
+    rows = [
+        (
+            f"http://s.example/{i}",
+            dt.datetime(2026, 2, 1, 0, 0, i % 60),
+            (f"<p>rec {i} " + "b" * (17 * i % 211) + "</p>").encode(),
+        )
+        for i in range(30)
+    ]
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "sweep.warc")
+        write_pages_warc(rows, path, compress=False)
+        raw = open(path, "rb").read()
+    size = len(raw)
+
+    def parse_ranges(split_bytes):
+        got = []
+        for s in range(0, size, split_bytes):
+            f = io.BytesIO(raw)
+            for headers, payload in _iter_warc_records_range(
+                f, s, min(s + split_bytes, size), read_chunk=256
+            ):
+                got.append((headers["warc-target-uri"], payload))
+        return got
+
+    whole = parse_ranges(size)  # one range = reference parse
+    assert len(whole) == 30
+    for split_bytes in range(64, 600, 7):
+        got = parse_ranges(split_bytes)
+        assert sorted(u for u, _ in got) == sorted(u for u, _ in whole), split_bytes
+        assert sorted(got) == sorted(whole), split_bytes
