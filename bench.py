@@ -98,6 +98,21 @@ def _median(xs):
     return xs[len(xs) // 2]
 
 
+def _steal_core_s() -> float:
+    """Cumulative hypervisor steal time in core-seconds (/proc/stat).
+
+    This VM shows steal bursts of 40-170 core-s per 30 s window (up to
+    ~17% of the box) that swing individual query timings 3-10x between
+    otherwise identical runs; recording the delta alongside the timings
+    lets a reader tell an engine regression from a contended window.
+    """
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8]) / 100.0
+    except Exception:
+        return 0.0
+
+
 def build_bench_pages(spark, sf_dir: str, replication: int):
     """documents -> pages(url, html, text), replicated deterministically."""
     import __spark_entry__ as entrymod
@@ -152,7 +167,9 @@ def main():
     # worker pool and JIT-compiles the codegen stages (session setup, not
     # steady-state throughput); then median-of-3 timed runs.
     _run(extract_documents(pages_on_disk))
+    _steal_flagship0 = _steal_core_s()
     extract_sec = _time(lambda: extract_documents(pages_on_disk), 3, _median)
+    _steal_flagship = _steal_core_s() - _steal_flagship0
     docs_per_sec = n_docs / extract_sec
 
     # secondary: the skew-hardened path for unbucketed inputs (salted
@@ -172,9 +189,16 @@ def main():
         "extraction_pipeline_shuffled": round(extract_shuffled_sec, 3),
     }
     total = extract_sec + extract_shuffled_sec
+    steal = {}
+    if _steal_flagship >= 1.0:
+        steal["extraction_pipeline_bulk"] = round(_steal_flagship, 1)
     for name in HEADLINE:
+        s0 = _steal_core_s()
         sec = _time(lambda: qs[name](spark, sf_dir), 2, min)
         timings[name] = round(sec, 3)
+        d = _steal_core_s() - s0
+        if d >= 1.0:
+            steal[name] = round(d, 1)  # contended window, flag it
         total += sec
 
     result = {
@@ -186,6 +210,9 @@ def main():
         "cpus": cpus,
         "extraction_docs": n_docs,
         "docs_per_sec": round(docs_per_sec, 1),
+        # hypervisor steal observed during contended queries (core-s);
+        # empty dict = clean window, timings are engine numbers
+        "steal_core_s": steal,
     }
     print(json.dumps(result))
     spark.stop()
