@@ -405,3 +405,38 @@ def incremental_new_docs(
         F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")),
     )
     return fp.join(seen_fingerprints, "fingerprint", "left_anti")
+
+
+def write_fingerprint_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    table: str,
+    path: str,
+    buckets: int = 256,
+) -> None:
+    """Materialize the seen-fingerprint corpus as a Spark table BUCKETED
+    on ``fingerprint`` — the layout that makes ``incremental_new_docs``
+    co-partitioned at 10^12 accumulated docs: the corpus side of the
+    anti-join scans its buckets in place (NO Exchange on the big side —
+    plan-asserted in tests/test_dedup.py) and only the much smaller daily
+    batch shuffles to ``buckets`` partitions.
+
+    The Iceberg analogue is a ``bucket(N, fingerprint)`` partition
+    transform on the table spec; this is the built-in-catalog fallback
+    (external table at ``path`` so nothing lands in a warehouse dir).
+    """
+    fp = df.select(
+        F.col(id_col),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+        ).alias("fingerprint"),
+    )
+    (
+        fp.write.mode("overwrite")
+        .bucketBy(buckets, "fingerprint")
+        .sortBy("fingerprint")
+        .option("path", path)
+        .saveAsTable(table)
+    )

@@ -155,3 +155,58 @@ def test_candidates_superset_of_verified_pairs(spark):
         ).collect()
     }
     assert verified and verified <= cand
+
+
+def test_bucketed_corpus_anti_join_shuffles_only_the_batch(spark, tmp_path):
+    """The 100 TB claim of incremental dedup, made concrete: against a
+    corpus table bucketed on fingerprint, the anti-join's big side scans
+    its buckets in place — the plan has exactly ONE Exchange (the small
+    daily batch) and the corpus scan reports Bucketed: true.  Results
+    must equal the plain (unbucketed) formulation."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.operators.dedup import (
+        incremental_new_docs,
+        write_fingerprint_corpus,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 4 != 0)  # overlaps odd + some seen
+    write_fingerprint_corpus(
+        corpus, "doc_id", "text",
+        table="seen_fp_bucketed_test", path=str(tmp_path / "corpus"), buckets=8,
+    )
+    try:
+        seen = spark.table("seen_fp_bucketed_test").select("fingerprint")
+        out = incremental_new_docs(batch, seen.hint("merge"), "doc_id", "text")
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        tree = plan.split("\n\n")[0]
+        assert tree.count("+- Exchange") == 1, plan  # batch side only
+        assert "Bucketed: true" in plan, plan
+
+        plain_seen = corpus.select(
+            F.md5(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+            ).alias("fingerprint")
+        )
+        expected = {
+            r["doc_id"]
+            for r in incremental_new_docs(
+                batch, plain_seen, "doc_id", "text"
+            ).collect()
+        }
+        got = {r["doc_id"] for r in out.collect()}
+        assert got == expected and got  # non-trivial and identical
+    finally:
+        spark.sql("DROP TABLE IF EXISTS seen_fp_bucketed_test")
