@@ -372,15 +372,117 @@ def dedup_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
         # a truncated fixpoint silently returns WRONG cluster ids (a long
         # pair chain still propagating); callers could not tell it apart
         # from a converged one — fail instead.  max_iter bounds rounds by
-        # the component diameter; raise it (or precompose edges with the
-        # large-star/small-star contraction, O(log n) rounds) for corpora
-        # with pathological chain-shaped near-dup graphs.
+        # the component diameter; for corpora with chain-shaped near-dup
+        # graphs use ``dedup_components_star`` (O(log n) rounds).
         raise RuntimeError(
             f"dedup_components did not converge within max_iter={max_iter} "
-            "rounds; cluster ids would be incorrect for long pair chains"
+            "rounds; cluster ids would be incorrect for long pair chains "
+            "(use dedup_components_star for high-diameter graphs)"
         )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_components_star(pairs: DataFrame, *, max_iter: int = 30) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014): converges in O(log n) rounds regardless of component
+    DIAMETER — the variant for corpora whose near-dup graphs contain long
+    pair chains, where plain min-label propagation (``dedup_components``)
+    needs diameter-many rounds.
+
+    Per round, with edges held canonically as (a < b):
+
+      * large-star: for each center u, m = min over u and its neighbors;
+        every LARGER neighbor v re-attaches as (v, m);
+      * small-star: orient edges larger -> smaller (center = larger
+        endpoint), m = min over the center's smaller neighbors; the
+        center and every other smaller neighbor re-attach to m.
+
+    Both steps are per-center min + JOIN — never a collect_list — so a
+    high-degree star node never materializes a neighbor array in one
+    task.  Each round is two keyed aggregates + two joins over the
+    (shrinking) edge list; ``localCheckpoint`` truncates lineage.
+    Convergence = the canonical edge set is identical two rounds running
+    ((count, order-insensitive xxhash) fixpoint); at that point every
+    edge connects a node directly to its component minimum.
+
+    Output: (doc_id, cluster_id), one row per node of the pair graph —
+    same contract as ``dedup_components``.
+    """
+    e = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # every input node must appear in the output even if star contraction
+    # quickly reduces it to a center with no surviving edge row
+    all_nodes = (
+        pairs.select(F.col("id_a").alias("u"))
+        .unionByName(pairs.select(F.col("id_b").alias("u")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _canon(df):
+        return (
+            df.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    prev = None
+    converged = False
+    for _ in range(max_iter):
+        # ---- large-star ----
+        und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = und.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        e1 = _canon(
+            und.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        # ---- small-star (center = larger endpoint; a < b canonically) ----
+        dire = e1.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        m2 = dire.groupBy("u").agg(F.min("v").alias("m"))  # m < u by construction
+        reattached = (
+            dire.join(m2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        centers = m2.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        e = _canon(reattached.unionByName(centers)).localCheckpoint(eager=True)
+
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("a", "b")).alias("h")
+        ).collect()[0]
+        cur = (int(row["n"]), int(row["h"] or 0))
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"dedup_components_star did not converge within max_iter={max_iter} "
+            "rounds (expected O(log n) — is the input astronomically large "
+            "or max_iter tiny?)"
+        )
+    und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    labels = und.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("label"))
+    return (
+        all_nodes.join(labels, "u", "left")
+        .select(
+            F.col("u").alias("doc_id"),
+            F.coalesce("label", F.col("u")).alias("cluster_id"),
+        )
     )
 
 

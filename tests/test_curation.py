@@ -163,3 +163,48 @@ def test_chunk_documents_windows_and_tail(spark):
     assert len(d2) == 1 and d2[0]["chunk_text"] == "a b c"
     d3 = [r for r in rows if r["doc_id"] == 3]
     assert len(d3) == 1 and d3[0]["chunk_n_tokens"] == 1
+
+
+def test_star_components_match_label_propagation(spark):
+    """Alternating small-star/large-star must produce exactly the same
+    (doc_id, cluster_id) map as min-label propagation on mixed graphs."""
+    import random
+
+    from pdf_extraction_spark.operators.dedup import (
+        dedup_components,
+        dedup_components_star,
+    )
+
+    rng = random.Random(11)
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    # random component over ids 100..139
+    ids = list(range(100, 140))
+    for _ in range(50):
+        edges.append((rng.choice(ids), rng.choice(ids)))
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    plain = {r["doc_id"]: r["cluster_id"] for r in dedup_components(pairs, max_iter=60).collect()}
+    star = {r["doc_id"]: r["cluster_id"] for r in dedup_components_star(pairs).collect()}
+    assert star == plain
+
+
+def test_star_components_long_chain_logarithmic(spark):
+    """A 200-node path has diameter 199 — plain propagation needs ~199
+    rounds; the star variant must converge inside its default O(log n)
+    budget (30 rounds) with every node labeled by the chain minimum."""
+    from pdf_extraction_spark.operators.dedup import dedup_components_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000, 1199)], "id_a long, id_b long"
+    )
+    rows = dedup_components_star(pairs).collect()
+    assert len(rows) == 200
+    assert {r["cluster_id"] for r in rows} == {1000}
+
+
+def test_star_components_self_pair_isolated(spark):
+    from pdf_extraction_spark.operators.dedup import dedup_components_star
+
+    pairs = spark.createDataFrame([(5, 5), (7, 8)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_components_star(pairs).collect()}
+    assert got == {5: 5, 7: 7, 8: 7}
