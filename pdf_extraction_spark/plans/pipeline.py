@@ -95,6 +95,7 @@ def run_extraction(
     fail_after_group: int | None = None,
     input_format: str = "parquet",
     groups_per_pass: int | None = None,
+    lineage_detail_limit: int = 200_000,
 ) -> dict:
     """Run the pipeline; returns a summary dict (also persisted per group).
 
@@ -112,6 +113,12 @@ def run_extraction(
     a 10-hour crawl job may prefer e.g. 4 passes of G/4 groups — one extra
     scan per pass buys 4 intermediate commit barriers.  Default: all
     uncommitted groups in a single pass.
+
+    ``lineage_detail_limit`` caps the per-(group, file) lineage rows
+    collected to the driver per pass; above it (parquet fallback where
+    every file feeds every group), lineage coarsens to one per-file
+    record set written once per pass and referenced from each group
+    manifest via ``lineage_ref``.
 
     ``fail_after_group`` is a test hook: raise after committing that many
     groups, simulating a killed job for the resume test.
@@ -151,24 +158,60 @@ def run_extraction(
 
         # per-(group, input file) lineage, computed JVM-side pre-shuffle —
         # one aggregate job over the column-pruned `url` scan for the
-        # whole batch
+        # whole batch.  On the parquet fallback every file can feed every
+        # group, so the detailed aggregate has up to |files| x |batch|
+        # rows; past `lineage_detail_limit` that would swamp the driver
+        # (and the manifests), so lineage coarsens to per-FILE totals
+        # written once per pass, with manifests carrying a reference.
+        # On Iceberg each group reads only its own bucket's files and the
+        # detailed path stays |files|-sized.
         lineage: dict[int, list] = {g: [] for g in batch}
-        for r in (
-            batch_pages.groupBy(
-                group_col.alias("grp"), F.input_file_name().alias("input_file")
-            )
-            .agg(
-                F.count("*").alias("n_rows"),
-                F.bit_xor(F.xxhash64("url")).alias("chk"),
-            )
-            .collect()
-        ):
-            lineage[int(r["grp"])].append(
+        lineage_ref = None
+        n_files = (
+            batch_pages.select(F.input_file_name().alias("f")).distinct().count()
+        )
+        if n_files * len(batch) <= lineage_detail_limit:
+            for r in (
+                batch_pages.groupBy(
+                    group_col.alias("grp"), F.input_file_name().alias("input_file")
+                )
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.bit_xor(F.xxhash64("url")).alias("chk"),
+                )
+                .collect()
+            ):
+                lineage[int(r["grp"])].append(
+                    {
+                        "input_file": r["input_file"],
+                        "n_rows": int(r["n_rows"]),
+                        "input_checksum": int(r["chk"] or 0),
+                    }
+                )
+        else:
+            per_file = [
                 {
                     "input_file": r["input_file"],
                     "n_rows": int(r["n_rows"]),
                     "input_checksum": int(r["chk"] or 0),
                 }
+                for r in batch_pages.groupBy(
+                    F.input_file_name().alias("input_file")
+                )
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.bit_xor(F.xxhash64("url")).alias("chk"),
+                )
+                .collect()
+            ]
+            lineage_ref = f"lineage-pass-{i}.json"
+            _write_manifest_atomic(
+                os.path.join(out_path, MANIFEST_DIR, lineage_ref),
+                {
+                    "groups": [int(g) for g in batch],
+                    "n_files": n_files,
+                    "lineage": sorted(per_file, key=lambda r: r["input_file"]),
+                },
             )
 
         # ONE shuffle keyed on (group, salted url-hash): colocates each
@@ -233,6 +276,8 @@ def run_extraction(
                 "num_partitions": num_partitions,
                 "salt_buckets": salt_buckets,
             }
+            if lineage_ref is not None:
+                manifest["lineage_ref"] = lineage_ref  # coarse per-file totals
             _write_manifest_atomic(_manifest_path(out_path, g), manifest)
             summary["committed"].append(g)
             committed_count += 1

@@ -133,3 +133,43 @@ def test_skew_salted_partitions_balanced(spark, pages_unit):
     counts = sorted(r["count"] for r in parts)
     median = counts[len(counts) // 2]
     assert counts[-1] <= 4 * max(median, 1), counts
+
+
+def test_lineage_coarsens_above_detail_limit(spark, pages_unit, tmp_path):
+    """With |files| x |groups| above the detail limit, lineage is written
+    once per pass as per-FILE totals (driver never holds the cross
+    product) and manifests reference it; rows and checksums unchanged."""
+    from pdf_extraction_spark.plans.pipeline import MANIFEST_DIR, run_extraction
+
+    fine = str(tmp_path / "fine")
+    coarse = str(tmp_path / "coarse")
+    run_extraction(spark, pages_unit, fine, groups=3)
+    run_extraction(spark, pages_unit, coarse, groups=3, lineage_detail_limit=1)
+
+    def manifests(out):
+        d = os.path.join(out, MANIFEST_DIR)
+        return {
+            m["group"]: m
+            for m in (
+                json.load(open(os.path.join(d, f)))
+                for f in os.listdir(d)
+                if f.startswith("group-")
+            )
+        }
+
+    mf, mc = manifests(fine), manifests(coarse)
+    # same groups, rows, checksums either way
+    assert {g: (m["n_rows"], m["output_checksum"]) for g, m in mf.items()} == {
+        g: (m["n_rows"], m["output_checksum"]) for g, m in mc.items()
+    }
+    refs = {m["lineage_ref"] for m in mc.values()}
+    assert len(refs) == 1 and all(m["lineage"] == [] for m in mc.values())
+    pass_lineage = json.load(
+        open(os.path.join(coarse, MANIFEST_DIR, refs.pop()))
+    )
+    # per-file totals cover the whole input once
+    detailed_total = sum(
+        r["n_rows"] for m in mf.values() for r in m["lineage"]
+    )
+    assert sum(r["n_rows"] for r in pass_lineage["lineage"]) == detailed_total
+    assert pass_lineage["groups"] == [0, 1, 2]
