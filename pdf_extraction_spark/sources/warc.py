@@ -120,9 +120,12 @@ _WARC_MAGIC = b"WARC/1."
 def _open_binary(path: str):
     """Open a binaryFile-style path for random-access reads.  Local
     ``file:`` URIs use plain open(); other schemes go through pyarrow.fs
-    (S3/HDFS/GCS on a real cluster)."""
+    (S3/HDFS/GCS on a real cluster).  binaryFile emits percent-encoded
+    URIs (spaces etc.), so ``file:`` paths are unquoted first."""
     if path.startswith("file:"):
-        local = re.sub("^/+", "/", path[len("file:"):])
+        from urllib.parse import unquote
+
+        local = re.sub("^/+", "/", unquote(path[len("file:"):]))
         return open(local, "rb")
     if "://" in path:
         from pyarrow import fs as pafs

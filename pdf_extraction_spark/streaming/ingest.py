@@ -112,6 +112,44 @@ def stream_windowed_counts(
     )
 
 
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    *,
+    watermark_seconds: int = 3600,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming exact dedup on the content fingerprint, state bounded by
+    an event-time horizon: a page whose normalized-text fingerprint was
+    already seen within ``watermark_seconds`` (by ``warc_ts``) is dropped;
+    fingerprints older than the horizon are EVICTED from the state store
+    (``dropDuplicatesWithinWatermark``), so state size is O(pages per
+    horizon), independent of stream length — the property that makes
+    streaming dedup viable on an unbounded crawl.
+
+    This is the in-stream half of the dedup story: cross-horizon
+    duplicates (a page recrawled next week) are the batch side's job —
+    ``incremental_new_docs`` against the accumulated fingerprint corpus
+    (bucketed; see ``write_fingerprint_corpus``).  The fingerprint
+    expression is the same in all three places, so the layers compose.
+
+    Returns the streaming DataFrame (caller attaches the sink).
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    pages = reader.parquet(input_dir)
+    fp = pages.withColumn(
+        "fingerprint",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")),
+    )
+    return fp.withWatermark(
+        "warc_ts", f"{watermark_seconds} seconds"
+    ).dropDuplicatesWithinWatermark(["fingerprint"])
+
+
 # per-user session state: [last_ts_epoch, session_start_epoch, n_events]
 _SESSION_STATE_SCHEMA = "last_ts long, start_ts long, n long"
 _SESSION_OUT_SCHEMA = (

@@ -240,3 +240,25 @@ def test_warc_range_iterator_boundary_sweep():
         got = parse_ranges(split_bytes)
         assert sorted(u for u, _ in got) == sorted(u for u, _ in whole), split_bytes
         assert sorted(got) == sorted(whole), split_bytes
+
+
+def test_warc_split_reader_handles_paths_with_spaces(spark, tmp_path):
+    """binaryFile reports percent-encoded file: URIs; the split reader
+    must decode them before open()."""
+    import datetime as dt
+
+    from pdf_extraction_spark.sources.warc import (
+        read_pages_warc,
+        write_pages_warc,
+    )
+
+    d = tmp_path / "seg dir"
+    d.mkdir()
+    path = str(d / "arc one.warc")
+    rows = [
+        (f"http://sp.example/{i}", dt.datetime(2026, 6, 1), b"<p>" + b"q" * 600 + b"</p>")
+        for i in range(20)
+    ]
+    write_pages_warc(rows, path, compress=False)
+    got = read_pages_warc(spark, str(d), split_bytes=2048)
+    assert got.count() == 20

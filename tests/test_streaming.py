@@ -92,3 +92,75 @@ def test_stream_resume_exactly_once(spark, stream_dirs):
     out = spark.read.parquet(stream_dirs["output"])
     assert out.count() == 130  # 100 old + 30 new, no reprocessing
     assert out.select("url").distinct().count() == 130
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicates arriving within the event-time
+    horizon are dropped across micro-batches (fingerprint state persists
+    in the store); distinct texts all survive; the memory sink receives
+    exactly one row per fingerprint."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_spark.streaming.ingest import stream_dedup
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    t0 = dt.datetime(2026, 5, 1, 12, 0, 0)
+
+    def rows(specs):
+        return pa.table(
+            {
+                "url": pa.array([u for u, _, _ in specs], pa.string()),
+                "warc_ts": pa.array(
+                    [t0 + dt.timedelta(seconds=s) for _, s, _ in specs],
+                    pa.timestamp("us"),
+                ),
+                "html": pa.array([None] * len(specs), pa.binary()),
+                "text": pa.array([t for _, _, t in specs], pa.string()),
+                "lang": pa.array(["en"] * len(specs), pa.string()),
+            }
+        )
+
+    # batch 1: two distinct texts + an in-batch duplicate (whitespace/case
+    # variant — the normalization must collapse it)
+    pq.write_table(
+        rows(
+            [
+                ("u1", 0, "alpha body text"),
+                ("u2", 1, "beta body text"),
+                ("u3", 2, "  Alpha   BODY  text "),
+            ]
+        ),
+        os.path.join(input_dir, "b1.parquet"),
+    )
+    # batch 2: cross-batch duplicate of alpha (within horizon) + new text
+    pq.write_table(
+        rows(
+            [
+                ("u4", 30, "alpha body text"),
+                ("u5", 31, "gamma body text"),
+            ]
+        ),
+        os.path.join(input_dir, "b2.parquet"),
+    )
+
+    out = stream_dedup(
+        spark, input_dir, watermark_seconds=3600, max_files_per_trigger=1
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from dedup_sink").collect()
+    texts = sorted(
+        " ".join(r["text"].lower().split()) for r in got
+    )
+    assert texts == ["alpha body text", "beta body text", "gamma body text"]
+    assert len({r["fingerprint"] for r in got}) == 3
