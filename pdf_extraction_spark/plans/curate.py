@@ -37,6 +37,31 @@ def _manifest_path(out_path: str, group: int) -> str:
     return os.path.join(out_path, "_manifests", f"group-{group}.json")
 
 
+def compact_curated_group(
+    spark: SparkSession,
+    out_path: str,
+    group: int,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Checksum-verified compaction for a committed CURATION group:
+    ``plans.pipeline.compact_group`` with the curation manifest's
+    fingerprint checksum (bit_xor of xxhash64(fingerprint)) in place of
+    the extraction semantic-column checksum."""
+    from pdf_extraction_spark.plans.pipeline import compact_group
+
+    return compact_group(
+        spark,
+        out_path,
+        group,
+        target_file_bytes=target_file_bytes,
+        checksum_exprs=[
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("fingerprint")).alias("checksum"),
+        ],
+    )
+
+
 def content_fingerprint(text_col: str = "text") -> F.Column:
     """md5 of the whitespace-normalized, lowercased RAW text — THE exact-dup
     identity of the curation pipeline (exact-dup = raw byte equality up to

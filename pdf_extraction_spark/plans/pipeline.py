@@ -299,6 +299,7 @@ def compact_group(
     group: int,
     *,
     target_file_bytes: int = 128 * 1024 * 1024,
+    checksum_exprs=None,
 ) -> dict:
     """Rewrite one committed group's parquet into ~target-sized files —
     the small-file compaction a long-running ingest needs (each commit
@@ -312,6 +313,11 @@ def compact_group(
     manifest is updated in place (atomic tmp+rename) with the new file
     count; lineage rows are untouched (compaction changes layout, not
     content).
+
+    ``checksum_exprs`` must match whatever produced the manifest's
+    ``output_checksum``; default is the extraction pipeline's semantic
+    columns — curation outputs pass their fingerprint checksum
+    (``plans.curate.compact_curated_group``).
     """
     import shutil
 
@@ -330,7 +336,8 @@ def compact_group(
     )
     n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil-div
     obs = Observation(f"compact-{group}")
-    compacted = df.repartition(n_files).observe(obs, *_checksum_exprs())
+    exprs = checksum_exprs if checksum_exprs is not None else _checksum_exprs()
+    compacted = df.repartition(n_files).observe(obs, *exprs)
 
     tmp_dir = group_dir + ".compact-tmp"
     compacted.write.mode("overwrite").parquet(tmp_dir)

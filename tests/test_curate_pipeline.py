@@ -228,3 +228,31 @@ def test_compact_group_preserves_content(spark, tmp_path):
     assert after == before
     m = json.load(open(os.path.join(out, "_manifests", "group-0.json")))
     assert m["compacted_files"] == 1 and m["n_rows"] == len(after)
+
+
+def test_compact_curated_group(spark, curate_input, tmp_path):
+    """Curation-output compaction: fingerprint-checksum verified before
+    the swap; content byte-identical after; manifest updated."""
+    import json
+
+    from pdf_extraction_spark.plans.curate import (
+        compact_curated_group,
+        run_curation,
+    )
+
+    out = str(tmp_path / "curated")
+    run_curation(spark, curate_input, out, groups=2)
+    gdir = os.path.join(out, "group=0")
+    before = {
+        r["doc_id"]: (r["fingerprint"], r["scrubbed_text"])
+        for r in spark.read.parquet(gdir).collect()
+    }
+    res = compact_curated_group(spark, out, 0, target_file_bytes=512 * 1024 * 1024)
+    assert res["n_files"] == 1 and res["n_rows"] == len(before)
+    after = {
+        r["doc_id"]: (r["fingerprint"], r["scrubbed_text"])
+        for r in spark.read.parquet(gdir).collect()
+    }
+    assert after == before
+    m = json.load(open(os.path.join(out, "_manifests", "group-0.json")))
+    assert m["compacted_files"] == 1 and m["n_rows"] == len(after)
