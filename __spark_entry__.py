@@ -684,6 +684,44 @@ SELECT doc_id, unnest(prints) AS print FROM p
 """
 
 
+def q_token_stats_bpe(spark, sf_dir):
+    """BPE-style pre-tokenization counts (GPT-2 pre-tokenizer shape made
+    lookahead-free so Java regex and RE2 agree).  A constructed suffix
+    adds contractions, digits, and punctuation so every alternation
+    branch fires on every row, not just the letter-run branch the plain
+    corpus would exercise."""
+    from pdf_extraction_spark.operators.text_analysis import bpe_token_stats
+
+    d = _load(spark, sf_dir, "documents")
+    d = d.select(
+        "doc_id",
+        F.concat(
+            F.expr("substring(text, 1, 80)"), F.lit(", it's 42% done!")
+        ).alias("text"),
+    )
+    return bpe_token_stats(d, "doc_id", "text")
+
+
+_ORACLE_TOKEN_BPE = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(
+           substr(text, 1, 80) || ', it''s 42% done!',
+           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}'']+|\s+'
+         ) AS toks,
+         len(regexp_split_to_array(
+           trim(substr(text, 1, 80) || ', it''s 42% done!'), '\s+')) AS n_ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_pieces,
+       CAST(len(list_filter(toks, x -> NOT regexp_matches(x, '^\s+$')))
+            AS BIGINT) AS n_bpe_tokens,
+       CAST(n_ws AS BIGINT) AS n_ws_tokens
+FROM t
+"""
+
+
 def q_token_stats_by_source(spark, sf_dir):
     from pdf_extraction_spark.functions.text import tokens
 
@@ -2099,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5": q_fingerprint_md5,
         "fingerprint_winnow": q_fingerprint_winnow,
         "token_stats_by_source": q_token_stats_by_source,
+        "token_stats_bpe": q_token_stats_bpe,
         # dedup
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2163,6 +2202,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": _ORACLE_FP_MD5,
         "fingerprint_winnow": _ORACLE_WINNOW,
         "token_stats_by_source": _ORACLE_TOKEN_STATS,
+        "token_stats_bpe": _ORACLE_TOKEN_BPE,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_ngram_jaccard": _ORACLE_JACCARD,
         "dedup_minhash_lsh": _ORACLE_MINHASH,

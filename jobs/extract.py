@@ -36,7 +36,9 @@ def main(argv=None) -> int:
     p.add_argument("--format", choices=["parquet", "jsonl", "warc"],
                    default="parquet",
                    help="input format (jsonl carries html as base64; warc "
-                        "reads Common-Crawl .warc/.warc.gz archives)")
+                        "reads Common-Crawl .warc/.warc.gz archives; large "
+                        "uncompressed .warc files split into byte-range "
+                        "tasks — see sources/warc.py)")
     args = p.parse_args(argv)
 
     from pdf_extraction_spark.session import get_spark

@@ -199,6 +199,44 @@ def fingerprint_winnow(
     )
 
 
+# GPT-2-style BPE pre-tokenizer pattern, made engine-portable: the real
+# GPT-2 pattern ends in `\s+(?!\S)` (lookahead), which RE2 cannot run —
+# this lookahead-free variant keeps the branch ORDER (contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+# whitespace runs) so Java regex (Spark) and RE2 (DuckDB), both
+# leftmost-first on alternation, tokenize identically.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}']+|\s+"
+
+
+def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token counts under BPE-style pre-tokenization —
+    the unit LLM token budgets are denominated in (whitespace counting
+    underestimates code/punctuation-heavy text badly).
+
+    Output: (id, n_pieces — all regex pieces incl. whitespace runs,
+    n_bpe_tokens — non-whitespace pieces, n_ws_tokens — plain whitespace
+    tokens for comparison).  Pure JVM regex, scan-local, no shuffle.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0)
+
+    def stats(ts):
+        non_ws = F.filter(ts, lambda t: ~t.rlike(r"^\s+$"))
+        return F.struct(
+            F.size(ts).cast("long").alias("n_pieces"),
+            F.size(non_ws).cast("long").alias("n_bpe_tokens"),
+        )
+
+    from pdf_extraction_spark.functions.text import let_bound
+
+    st = let_bound(toks, stats)
+    return df.select(
+        F.col(id_col),
+        st["n_pieces"].alias("n_pieces"),
+        st["n_bpe_tokens"].alias("n_bpe_tokens"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_ws_tokens"),
+    )
+
+
 # PII patterns — chosen to parse identically under Java regex (Spark) and
 # RE2 (DuckDB): character classes + bounded quantifiers only, no
 # backreferences, no lookaround.

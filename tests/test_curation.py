@@ -208,3 +208,30 @@ def test_star_components_self_pair_isolated(spark):
     pairs = spark.createDataFrame([(5, 5), (7, 8)], "id_a long, id_b long")
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_components_star(pairs).collect()}
     assert got == {5: 5, 7: 7, 8: 7}
+
+
+def test_bpe_token_stats_known_values(spark):
+    """Pin the portable BPE pre-tokenizer's semantics on hand-checked
+    strings: contraction split, space-prefixed runs, digit runs,
+    punctuation runs, whitespace pieces counted separately."""
+    from pdf_extraction_spark.operators.text_analysis import bpe_token_stats
+
+    df = spark.createDataFrame(
+        [
+            # "it's 42% done!" -> ' it'|'s| 42|%| done|! with the leading
+            # word: [it][' s][ 42][%][ done][!]
+            (1, "it's 42% done!"),
+            (2, "hello world"),
+            (3, "a1b2"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bpe_token_stats(df, "doc_id", "text").collect()}
+    # doc 1: [it]["'s"][" 42"]["%"][" done"]["!"] = 6 non-ws pieces, no
+    # standalone whitespace pieces (spaces glue onto the next run)
+    assert (got[1]["n_bpe_tokens"], got[1]["n_pieces"]) == (6, 6)
+    assert got[1]["n_ws_tokens"] == 3
+    # doc 2: [hello][" world"] = 2
+    assert (got[2]["n_bpe_tokens"], got[2]["n_ws_tokens"]) == (2, 2)
+    # doc 3: letter/digit alternation splits: [a][1][b][2] = 4 vs 1 ws token
+    assert (got[3]["n_bpe_tokens"], got[3]["n_ws_tokens"]) == (4, 1)
