@@ -1269,6 +1269,69 @@ QUALIFY rank <= 5
 """
 
 
+def q_similarity_ivf_topk(spark, sf_dir):
+    """ANN top-5 with an IVF coarse quantizer (the centroid-based scale
+    path, complementing the hyperplane-LSH one): centroids are the 8
+    vectors with the smallest md5(vec_id) — deterministic and model-free,
+    so the DuckDB oracle re-derives the identical centroid set in SQL —
+    every vector is assigned to its max-cosine cell (first-wins ties,
+    matching ORDER BY cos DESC, cell ASC), and the search prunes
+    candidates to the query's cell (n_probe = 1)."""
+    from pdf_extraction_spark.operators.similarity import (
+        bucketed_topk,
+        ivf_cell,
+        ivf_centroids,
+    )
+
+    e = _load(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(e, n_cells=8)
+    e = e.withColumn("ivf_cell", ivf_cell(F.col("embedding"), cents))
+    out = bucketed_topk(
+        e, e.filter(F.col("vec_id") < 8), bucket_col="ivf_cell", k=5
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_ORACLE_IVF_TOPK = f"""
+WITH c AS (
+  SELECT embedding AS cvec,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cell
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 8
+),
+assign AS (
+  SELECT vec_id, embedding, cell,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+  FROM (
+    SELECT v.vec_id, v.embedding, c.cell,
+           {_DK_DOT.format(a='v.embedding', b='c.cvec')}
+           / (sqrt({_DK_DOT.format(a='v.embedding', b='v.embedding')})
+              * sqrt({_DK_DOT.format(a='c.cvec', b='c.cvec')})) AS cos
+    FROM embeddings v CROSS JOIN c)
+),
+cells AS (SELECT vec_id, embedding, cell FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec, cell FROM cells
+      WHERE vec_id < 8),
+v AS (SELECT vec_id AS neighbor_id, embedding AS n_vec, cell FROM cells),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_DK_DOT.format(a='q_vec', b='n_vec')}
+         / (sqrt({_DK_DOT.format(a='q_vec', b='q_vec')})
+            * sqrt({_DK_DOT.format(a='n_vec', b='n_vec')})) AS cos
+  FROM v JOIN q USING (cell) WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 def q_similarity_lsh_bucketed(spark, sf_dir):
     """ANN top-5 within the query's COMPUTED hyperplane-LSH bucket — the
     scale path exercised with a real quantizer instead of the ground-truth
@@ -2156,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_topk_bucketed": q_similarity_topk_bucketed,
         "similarity_lsh_bucketed": q_similarity_lsh_bucketed,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
         # multimodal (binary columns; pixel decode stubbed per SURVEY §7)
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_byte_features": q_multimodal_byte_features,
@@ -2218,6 +2282,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": _ORACLE_TOPK,
         "similarity_topk_bucketed": _ORACLE_TOPK_BUCKET,
         "similarity_lsh_bucketed": _ORACLE_TOPK_LSH,
+        "similarity_ivf_topk": _ORACLE_IVF_TOPK,
         "multimodal_metadata": _ORACLE_MM_META,
         "multimodal_byte_features": _ORACLE_MM_BYTES,
         "multimodal_frame_sample": _ORACLE_MM_FRAMES,

@@ -52,6 +52,7 @@ HEADLINE = [
     "similarity_topk",
     "similarity_topk_bucketed",
     "similarity_lsh_bucketed",
+    "similarity_ivf_topk",
     "multimodal_metadata",
     "multimodal_frame_sample",
     "multimodal_bmp_decode",

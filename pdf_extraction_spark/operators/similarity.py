@@ -95,6 +95,71 @@ def bucketed_topk(
     )
 
 
+def ivf_centroids(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic, training-free IVF coarse quantizer: the centroid set
+    is the ``n_cells`` vectors with the smallest md5 of their id — a
+    reproducible pseudo-random sample needing no k-means state.  Both the
+    Spark plan and the DuckDB oracle re-derive the IDENTICAL centroid set
+    from the data, so the quantizer ships no model; swapping in trained
+    k-means centroids is a drop-in (same (cell, vector) list shape).
+
+    Driver-side collect is n_cells rows (tiny by construction) — the
+    centroids become plan literals, exactly like the LSH plane matrix.
+    """
+    rows = (
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    return [(i, [float(x) for x in r["_v"]]) for i, r in enumerate(rows)]
+
+
+def ivf_cell(vec_col, centroids: list[tuple[int, list[float]]]):
+    """Nearest-centroid cell id: argmax cosine over the centroid list,
+    FIRST index wins ties (strict ``>`` fold in ascending cell order —
+    the DuckDB twin's ``ORDER BY cos DESC, cell ASC`` picks the same
+    cell because both engines compute bit-identical left-fold doubles).
+
+    The n_cells cosines are let-bound as ONE array and the argmax is a
+    linear fold over it — a naive when-chain fold nests each cosine
+    expression into every later comparison (2^n_cells expression growth
+    after CollapseProject inlining).  Per-row work: n_cells zip_with/fold
+    passes, no runtime hashing.
+    """
+    from pdf_extraction_spark.functions.text import let_bound
+
+    cos_arr = F.array(
+        *[
+            cosine(vec_col, F.array(*[F.lit(float(x)) for x in cv]))
+            for _, cv in centroids
+        ]
+    )
+    n = len(centroids)
+
+    def argmax(arr):
+        fold = F.aggregate(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            F.struct(
+                F.lit(0).cast("int").alias("i"),
+                F.element_at(arr, 1).alias("v"),
+            ),
+            lambda acc, j: F.when(
+                F.element_at(arr, j + 1) > acc["v"],
+                F.struct(j.cast("int").alias("i"), F.element_at(arr, j + 1).alias("v")),
+            ).otherwise(acc),
+        )
+        return fold["i"]
+
+    return let_bound(cos_arr, argmax)
+
+
 def plane_weights(num_planes: int, dim: int) -> list[list[float]]:
     """±1 hyperplane weights, derived from md5 at plan-build time.
 
