@@ -53,6 +53,22 @@ def word_ngrams(toks: Column, n: int) -> Column:
     return F.array_distinct(word_ngrams_all(toks, n))
 
 
+def content_fingerprint(text_col: str = "text") -> Column:
+    """md5 of the whitespace-normalized, lowercased RAW text — THE shared
+    exact-dup identity of the engine (exact-dup = raw byte equality up to
+    case/whitespace).
+
+    Batch incremental dedup (``incremental_new_docs``), the bucketed
+    corpus writer (``write_fingerprint_corpus``), streaming dedup
+    (``stream_dedup``), and the curation pipeline's dedup key AND
+    commit-group key are all built from THIS one expression.  Their
+    correctness depends on agreeing byte-for-byte (duplicates must land
+    in the same commit group / state bucket / corpus bucket), so the
+    expression lives in exactly one place — never re-inline it.
+    """
+    return F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+
+
 def hash60(col) -> Column:
     """Deterministic 60-bit hash: first 15 hex chars of md5, base-16 parsed.
 

@@ -502,10 +502,9 @@ def incremental_new_docs(
     seen-side is a bucketed table on `fingerprint`, making the anti-join
     co-partitioned and shuffle-free on the big side.
     """
-    fp = batch.withColumn(
-        "fingerprint",
-        F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")),
-    )
+    from pdf_extraction_spark.functions.text import content_fingerprint
+
+    fp = batch.withColumn("fingerprint", content_fingerprint(text_col))
     return fp.join(seen_fingerprints, "fingerprint", "left_anti")
 
 
@@ -529,11 +528,10 @@ def write_fingerprint_corpus(
     transform on the table spec; this is the built-in-catalog fallback
     (external table at ``path`` so nothing lands in a warehouse dir).
     """
+    from pdf_extraction_spark.functions.text import content_fingerprint
+
     fp = df.select(
-        F.col(id_col),
-        F.md5(
-            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-        ).alias("fingerprint"),
+        F.col(id_col), content_fingerprint(text_col).alias("fingerprint")
     )
     (
         fp.write.mode("overwrite")

@@ -23,18 +23,15 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pdf_extraction_spark.functions.text import content_fingerprint
 from pdf_extraction_spark.operators.text_analysis import (
     pii_scrub,
     quality_filter,
 )
 from pdf_extraction_spark.plans.pipeline import (
-    _write_manifest_atomic,
+    _commit_staged_groups,
     committed_groups,
 )
-
-
-def _manifest_path(out_path: str, group: int) -> str:
-    return os.path.join(out_path, "_manifests", f"group-{group}.json")
 
 
 def compact_curated_group(
@@ -62,21 +59,13 @@ def compact_curated_group(
     )
 
 
-def content_fingerprint(text_col: str = "text") -> F.Column:
-    """md5 of the whitespace-normalized, lowercased RAW text — THE exact-dup
-    identity of the curation pipeline (exact-dup = raw byte equality up to
-    case/whitespace).
-
-    Both the dedup key (``curated_docs``) and the commit-group key
-    (``run_curation``) are built from THIS expression, which is what makes
-    per-group dedup equal global dedup: every future duplicate of a
-    document lands in the same commit group as its twin.  Fingerprinting
-    any *derived* text (e.g. post-PII-scrub) here would break that
-    invariant — two raw-distinct docs can scrub to identical text, share
-    the derived fingerprint, yet hash to different groups and both
-    survive.
-    """
-    return F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+# NB: the dedup key (curated_docs) and the commit-group key
+# (run_curation) are both built from the shared content_fingerprint
+# expression (functions/text.py) — that is what makes per-group dedup
+# equal global dedup.  Fingerprinting any *derived* text (e.g.
+# post-PII-scrub) would break it: two raw-distinct docs can scrub to
+# identical text, share the derived fingerprint, yet hash to different
+# groups and both survive.
 
 
 def curated_docs(
@@ -140,8 +129,6 @@ def run_curation(
     pass is therefore exactly global dedup, and the output is independent
     of ``groups``.
     """
-    import shutil
-
     docs = spark.read.parquet(docs_path)
     group_key = F.pmod(F.xxhash64(content_fingerprint("text")), F.lit(groups))
     done = committed_groups(out_path) if resume else set()
@@ -187,17 +174,9 @@ def run_curation(
         m_in, m_out = obs_in.get, obs_out.get
         pass_wall = round(time.monotonic() - t0, 3)
 
-        for g in batch:
-            src = os.path.join(staging, f"group={g}")
-            dst = os.path.join(out_path, f"group={g}")
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)  # stale uncommitted leftover
-            if os.path.isdir(src):
-                os.replace(src, dst)
-            else:
-                os.makedirs(dst)  # group with zero surviving rows
+        def manifest_for(g):
             n_in, n_out = int(m_in[f"n_in_{g}"]), int(m_out[f"n_out_{g}"])
-            manifest = {
+            return {
                 "group": g,
                 "n_input": n_in,
                 "n_rows": n_out,
@@ -207,12 +186,16 @@ def run_curation(
                 "output_checksum": int(m_out[f"chk_{g}"] or 0),
                 "wall_sec": pass_wall,  # wall of the shared pass
             }
-            _write_manifest_atomic(_manifest_path(out_path, g), manifest)
-            summary["committed"].append(g)
-            committed_count += 1
-            if fail_after_group is not None and committed_count >= fail_after_group:
-                raise RuntimeError(
-                    f"simulated kill after {committed_count} group(s)"
-                )
-        shutil.rmtree(staging, ignore_errors=True)
+
+        committed_count = _commit_staged_groups(
+            spark,
+            staging,
+            out_path,
+            batch,
+            empty_schema=curated.drop("group").schema,
+            manifest_for=manifest_for,
+            summary=summary,
+            committed_count=committed_count,
+            fail_after_group=fail_after_group,
+        )
     return summary

@@ -83,6 +83,51 @@ def result_checksum(result: DataFrame):
     return int(row["n"]), int(row["checksum"] or 0)
 
 
+def _commit_staged_groups(
+    spark,
+    staging: str,
+    out_path: str,
+    batch,
+    *,
+    empty_schema,
+    manifest_for,
+    summary: dict,
+    committed_count: int,
+    fail_after_group: int | None,
+) -> int:
+    """Ordered, atomic per-group commits of a staged partitionBy(group)
+    write — the one commit protocol shared by run_extraction and
+    run_curation: rename the group's staged directory into place (a
+    zero-row group gets a schema-bearing EMPTY parquet directory instead,
+    so direct group reads and compaction keep working), then write its
+    manifest — the manifest write is the commit point.  Returns the
+    updated committed count; raises the simulated-kill test hook after
+    ``fail_after_group`` total commits.
+    """
+    import shutil
+
+    for g in batch:
+        src = os.path.join(staging, f"group={g}")
+        dst = os.path.join(out_path, f"group={g}")
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)  # stale uncommitted leftover
+        if os.path.isdir(src):
+            os.replace(src, dst)
+        else:
+            spark.createDataFrame([], empty_schema).write.mode(
+                "overwrite"
+            ).parquet(dst)
+        _write_manifest_atomic(_manifest_path(out_path, g), manifest_for(g))
+        summary["committed"].append(g)
+        committed_count += 1
+        if fail_after_group is not None and committed_count >= fail_after_group:
+            raise RuntimeError(
+                f"simulated kill after {committed_count} group(s)"
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    return committed_count
+
+
 def run_extraction(
     spark: SparkSession,
     pages_path: str,
@@ -126,8 +171,6 @@ def run_extraction(
     (crawl-dump interchange; html carried as base64), or "warc"
     (Common Crawl's native archive format, .warc/.warc.gz).
     """
-    import shutil
-
     from pyspark.sql import Observation
 
     from pdf_extraction_spark.sources.pages import read_pages, read_pages_jsonl
@@ -167,13 +210,36 @@ def run_extraction(
         # detailed path stays |files|-sized.
         lineage: dict[int, list] = {g: [] for g in batch}
         lineage_ref = None
-        n_files = (
-            batch_pages.select(F.input_file_name().alias("f")).distinct().count()
+        # provenance column: file-source scans expose input_file_name();
+        # sources that synthesize rows off a non-file plan (byte-range
+        # WARC splits) carry an explicit source_file column instead —
+        # input_file_name() would be '' there and lose all provenance
+        file_expr = (
+            F.col("source_file")
+            if "source_file" in pages.columns
+            else F.input_file_name()
         )
+        # per-file totals first: its row count IS the file count (no
+        # separate distinct-count pass), and it alone suffices for the
+        # coarse mode
+        per_file = [
+            {
+                "input_file": r["input_file"],
+                "n_rows": int(r["n_rows"]),
+                "input_checksum": int(r["chk"] or 0),
+            }
+            for r in batch_pages.groupBy(file_expr.alias("input_file"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.bit_xor(F.xxhash64("url")).alias("chk"),
+            )
+            .collect()
+        ]
+        n_files = len(per_file)
         if n_files * len(batch) <= lineage_detail_limit:
             for r in (
                 batch_pages.groupBy(
-                    group_col.alias("grp"), F.input_file_name().alias("input_file")
+                    group_col.alias("grp"), file_expr.alias("input_file")
                 )
                 .agg(
                     F.count("*").alias("n_rows"),
@@ -189,21 +255,6 @@ def run_extraction(
                     }
                 )
         else:
-            per_file = [
-                {
-                    "input_file": r["input_file"],
-                    "n_rows": int(r["n_rows"]),
-                    "input_checksum": int(r["chk"] or 0),
-                }
-                for r in batch_pages.groupBy(
-                    F.input_file_name().alias("input_file")
-                )
-                .agg(
-                    F.count("*").alias("n_rows"),
-                    F.bit_xor(F.xxhash64("url")).alias("chk"),
-                )
-                .collect()
-            ]
             lineage_ref = f"lineage-pass-{i}.json"
             _write_manifest_atomic(
                 os.path.join(out_path, MANIFEST_DIR, lineage_ref),
@@ -218,8 +269,14 @@ def run_extraction(
         # group's rows so the partitionBy write emits ~salt-many files per
         # group instead of |batch| files from every task, while the salt
         # keeps ~4x num_partitions key-buckets for balance and spreads
-        # size-skewed documents like salted_repartition does
-        salt = max(1, (num_partitions * 4) // max(1, len(batch)))
+        # size-skewed documents like salted_repartition does.  The salt
+        # never drops below salt_buckets: with many groups per pass the
+        # balance term goes to 1, which would pin every group's giants to
+        # one partition — the exact straggler the salt exists to prevent
+        salt = max(
+            salt_buckets if salt_buckets > 1 else 1,
+            (num_partitions * 4) // max(1, len(batch)),
+        )
         key = F.xxhash64("url")
         if salt_buckets > 1:
             size_col = F.coalesce(
@@ -254,17 +311,7 @@ def run_extraction(
         metrics = obs.get  # blocks only until the finished write's metrics land
         pass_wall = round(time.monotonic() - t0, 3)
 
-        # ordered per-group commits: atomic dir rename + manifest — the
-        # same commit points the per-group formulation had
-        for g in batch:
-            src = os.path.join(staging, f"group={g}")
-            dst = os.path.join(out_path, f"group={g}")
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)  # stale uncommitted leftover
-            if os.path.isdir(src):
-                os.replace(src, dst)
-            else:
-                os.makedirs(dst)  # group with zero rows
+        def manifest_for(g):
             manifest = {
                 "group": g,
                 "n_rows": int(metrics[f"n_{g}"]),
@@ -278,14 +325,19 @@ def run_extraction(
             }
             if lineage_ref is not None:
                 manifest["lineage_ref"] = lineage_ref  # coarse per-file totals
-            _write_manifest_atomic(_manifest_path(out_path, g), manifest)
-            summary["committed"].append(g)
-            committed_count += 1
-            if fail_after_group is not None and committed_count >= fail_after_group:
-                raise RuntimeError(
-                    f"simulated kill after {committed_count} group(s)"
-                )
-        shutil.rmtree(staging, ignore_errors=True)
+            return manifest
+
+        committed_count = _commit_staged_groups(
+            spark,
+            staging,
+            out_path,
+            batch,
+            empty_schema=result.drop("group").schema,
+            manifest_for=manifest_for,
+            summary=summary,
+            committed_count=committed_count,
+            fail_after_group=fail_after_group,
+        )
     return summary
 
 

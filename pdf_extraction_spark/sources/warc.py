@@ -38,7 +38,17 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql.types import StringType, StructField, StructType
+
 from pdf_extraction_spark.sources.pages import PAGES_SCHEMA
+
+# pages schema + provenance: rows from the byte-range split path are built
+# off a non-file plan where input_file_name() is empty, so the WARC source
+# carries the archive path as an explicit column (the extraction pipeline's
+# lineage prefers `source_file` when present)
+WARC_PAGES_SCHEMA = StructType(
+    list(PAGES_SCHEMA.fields) + [StructField("source_file", StringType())]
+)
 
 
 def _iter_warc_records(raw: bytes):
@@ -84,7 +94,7 @@ def _parse_warc_ts(v: str):
         return None
 
 
-def _append_record(out: dict, headers: dict, payload: bytes) -> None:
+def _append_record(out: dict, headers: dict, payload: bytes, source_file: str) -> None:
     """Emit one pages row for a WARC response record (shared by the
     whole-file and byte-range kernels)."""
     if headers.get("warc-type") != "response":
@@ -97,17 +107,19 @@ def _append_record(out: dict, headers: dict, payload: bytes) -> None:
     out["html"].append(_http_body(payload))
     out["text"].append(None)
     out["lang"].append(None)
+    out["source_file"].append(source_file)
 
 
 def _warc_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        out = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+        out = {"url": [], "warc_ts": [], "html": [], "text": [],
+               "lang": [], "source_file": []}
         for path, content in zip(pdf["path"], pdf["content"]):
             raw = bytes(content)
             if path.endswith(".gz") or raw[:2] == b"\x1f\x8b":
                 raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
             for headers, payload in _iter_warc_records(raw):
-                _append_record(out, headers, payload)
+                _append_record(out, headers, payload, str(path))
         if out["url"]:  # an all-empty frame would lose the ts dtype
             yield pd.DataFrame(out)
 
@@ -236,13 +248,14 @@ def _iter_warc_records_range(f, start: int, end: int, read_chunk: int = 1 << 22)
 
 def _warc_split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        out = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+        out = {"url": [], "warc_ts": [], "html": [], "text": [],
+               "lang": [], "source_file": []}
         for path, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
             with _open_binary(str(path)) as f:
                 for headers, payload in _iter_warc_records_range(
                     f, int(start), int(end)
                 ):
-                    _append_record(out, headers, payload)
+                    _append_record(out, headers, payload, str(path))
         if out["url"]:  # an all-empty frame would lose the ts dtype
             yield pd.DataFrame(out)
 
@@ -283,14 +296,14 @@ def read_pages_warc(
             .load(whole_files)
             .select("path", "content")
         )
-        parts.append(files.mapInPandas(_warc_batches, schema=PAGES_SCHEMA))
+        parts.append(files.mapInPandas(_warc_batches, schema=WARC_PAGES_SCHEMA))
     if split_rows:
         sdf = spark.createDataFrame(
             split_rows, "path string, start long, end long"
         ).repartition(len(split_rows))
-        parts.append(sdf.mapInPandas(_warc_split_batches, schema=PAGES_SCHEMA))
+        parts.append(sdf.mapInPandas(_warc_split_batches, schema=WARC_PAGES_SCHEMA))
     if not parts:
-        return spark.createDataFrame([], PAGES_SCHEMA)
+        return spark.createDataFrame([], WARC_PAGES_SCHEMA)
     out = parts[0]
     for extra in parts[1:]:
         out = out.unionByName(extra)

@@ -135,16 +135,13 @@ def stream_dedup(
 
     Returns the streaming DataFrame (caller attaches the sink).
     """
-    from pyspark.sql import functions as F
+    from pdf_extraction_spark.functions.text import content_fingerprint
 
     reader = spark.readStream.schema(PAGES_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     pages = reader.parquet(input_dir)
-    fp = pages.withColumn(
-        "fingerprint",
-        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")),
-    )
+    fp = pages.withColumn("fingerprint", content_fingerprint("text"))
     return fp.withWatermark(
         "warc_ts", f"{watermark_seconds} seconds"
     ).dropDuplicatesWithinWatermark(["fingerprint"])

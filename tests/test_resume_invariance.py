@@ -173,3 +173,36 @@ def test_lineage_coarsens_above_detail_limit(spark, pages_unit, tmp_path):
     )
     assert sum(r["n_rows"] for r in pass_lineage["lineage"]) == detailed_total
     assert pass_lineage["groups"] == [0, 1, 2]
+
+
+def test_empty_groups_are_readable_and_compactable(spark, tmp_path):
+    """A committed group with zero rows must still be a schema-bearing
+    parquet directory: direct reads and compaction work (regression — the
+    staged-commit path once left a fileless directory)."""
+    from pdf_extraction_spark.plans.pipeline import (
+        compact_group,
+        run_extraction,
+    )
+    from fixtures.gen import write_pages
+
+    pages = str(tmp_path / "tiny.parquet")
+    write_pages(pages, 3)
+    out = str(tmp_path / "out")
+    summary = run_extraction(spark, pages, out, groups=8)
+    assert summary["committed"] == list(range(8))
+
+    import json
+
+    rows_by_group = {}
+    for g in range(8):
+        gdir = os.path.join(out, f"group={g}")
+        df = spark.read.parquet(gdir)  # must not raise, even when empty
+        rows_by_group[g] = df.count()
+        m = json.load(open(os.path.join(out, "_manifests", f"group-{g}.json")))
+        assert m["n_rows"] == rows_by_group[g]
+    assert sum(rows_by_group.values()) == 3
+    empty = [g for g, n in rows_by_group.items() if n == 0]
+    assert empty  # 3 docs over 8 groups guarantee empty groups
+    res = compact_group(spark, out, empty[0])
+    assert res["n_rows"] == 0
+    assert spark.read.parquet(os.path.join(out, f"group={empty[0]}")).count() == 0

@@ -99,6 +99,15 @@ def test_warc_source_end_to_end(spark, tmp_path):
 
     out = str(tmp_path / "out")
     run_extraction(spark, wpath, out, groups=1, input_format="warc")
+    # lineage provenance must carry the archive path (the WARC source's
+    # source_file column), never input_file_name()'s empty string
+    import json
+
+    m = json.load(open(os.path.join(out, "_manifests", "group-0.json")))
+    assert m["lineage"] and all(
+        r["input_file"].endswith(".warc.gz") for r in m["lineage"]
+    )
+    assert sum(r["n_rows"] for r in m["lineage"]) == 2
     got = {
         r["url"]: r["extracted_text"]
         for r in spark.read.parquet(os.path.join(out, "group=*")).collect()
