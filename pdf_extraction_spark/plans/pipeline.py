@@ -157,7 +157,9 @@ def run_extraction(
     mid-pass loses the whole pass's work (nothing of it is committed), so
     a 10-hour crawl job may prefer e.g. 4 passes of G/4 groups — one extra
     scan per pass buys 4 intermediate commit barriers.  Default: all
-    uncommitted groups in a single pass.
+    uncommitted groups in a single pass.  It also bounds the observe
+    node's width (two conditional aggregates per group in the pass), so
+    prefer it at G in the thousands.
 
     ``lineage_detail_limit`` caps the per-(group, file) lineage rows
     collected to the driver per pass; above it (parquet fallback where
