@@ -169,9 +169,16 @@ def _iter_warc_records_range(f, start: int, end: int, read_chunk: int = 1 << 22)
     Hadoop-split semantics: a record straddling ``start`` belongs to the
     previous split; the tail record may be read past ``end``.  Boundary
     detection requires the ``WARC/1.`` magic preceded by the record
-    separator CRLFCRLF (or file offset 0) AND a parseable header — magic
-    bytes inside an archived payload fail the header check and are
-    skipped.  Memory is bounded by read_chunk + one record.
+    separator CRLFCRLF (or file offset 0), a parseable header with a
+    WARC-Type, AND the chain property (the candidate's Content-Length
+    lands on EOF or another record boundary) — so even a COMPLETE fake
+    record embedded mid-payload (a WARC archived inside a WARC) cannot
+    desynchronize a split.  Residual ambiguity: a fake record positioned
+    as the exact SUFFIX of its enclosing payload chains onto the real
+    next boundary and is emitted as one phantom record by the split that
+    starts inside it — locally indistinguishable without an offset index
+    (.gz archives resolve it structurally via gzip members).  Memory is
+    bounded by read_chunk + one record.
     """
     pre = 4 if start > 0 else 0
     f.seek(start - pre)
@@ -195,6 +202,31 @@ def _iter_warc_records_range(f, start: int, end: int, read_chunk: int = 1 << 22)
             if not _extend():
                 return -1
 
+    def _chains(p) -> bool:
+        """True iff a plausible record at p is FOLLOWED by EOF or another
+        record boundary — the decisive check against a fully valid-looking
+        fake record embedded in a payload (e.g. a WARC archived inside a
+        WARC): a fake's content-length almost never lands exactly on the
+        next true boundary, while every real record's always does."""
+        he = _complete_header(p)
+        if he < 0:
+            return False
+        parsed = _parse_header_block(buf[p:he])
+        if parsed is None or "warc-type" not in parsed[0]:
+            return False
+        q = he + 4 + parsed[1]
+        while True:
+            while len(buf) < q + 2 and _extend():
+                pass
+            if q >= len(buf):
+                return q == len(buf)  # record ends exactly at EOF
+            if buf[q : q + 2] == b"\r\n":
+                q += 2
+                continue
+            while len(buf) - q < len(_WARC_MAGIC) and _extend():
+                pass
+            return buf.startswith(_WARC_MAGIC, q)
+
     # align to the first valid record boundary at global offset >= start
     pos = -1
     search = 0
@@ -205,11 +237,9 @@ def _iter_warc_records_range(f, start: int, end: int, read_chunk: int = 1 << 22)
         boundary_ok = (base + p == 0) or (
             p >= 4 and buf[p - 4 : p] == b"\r\n\r\n"
         )
-        if boundary_ok and base + p >= start:
-            he = _complete_header(p)
-            if he >= 0 and _parse_header_block(buf[p:he]) is not None:
-                pos = p
-                break
+        if boundary_ok and base + p >= start and _chains(p):
+            pos = p
+            break
         search = p + 1
     # parse records sequentially from the aligned boundary
     while True:

@@ -271,3 +271,52 @@ def test_warc_split_reader_handles_paths_with_spaces(spark, tmp_path):
     write_pages_warc(rows, path, compress=False)
     got = read_pages_warc(spark, str(d), split_bytes=2048)
     assert got.count() == 20
+
+
+def test_warc_range_iterator_rejects_embedded_fake_record():
+    """A COMPLETE valid-looking record (magic + parseable header +
+    content-length + terminator) embedded mid-payload must not
+    desynchronize splits that start inside it: the chain check rejects it
+    because its length lands on junk, not on a record boundary."""
+    import datetime as dt
+    import io
+    import os
+    import tempfile
+
+    from pdf_extraction_spark.sources.warc import (
+        _iter_warc_records_range,
+        write_pages_warc,
+    )
+
+    fake = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://fake.example/phantom\r\n"
+        b"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: 40\r\n\r\n"
+        + b"F" * 40
+        + b"\r\n\r\n"
+    )
+    rows = []
+    for i in range(12):
+        body = (f"<p>real {i} " + "r" * 300 + "</p>").encode()
+        if i == 4:
+            # decoy surrounded by junk on both sides -> cannot chain
+            body = b"<p>archived warc:\r\n\r\n" + fake + b"junk tail " * 30 + b"</p>"
+        rows.append((f"http://real.example/{i}", dt.datetime(2026, 7, 1), body))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "decoy.warc")
+        write_pages_warc(rows, path, compress=False)
+        raw = open(path, "rb").read()
+
+    def parse(split_bytes):
+        got = []
+        for s in range(0, len(raw), split_bytes):
+            for headers, _ in _iter_warc_records_range(
+                io.BytesIO(raw), s, min(s + split_bytes, len(raw)), read_chunk=128
+            ):
+                got.append(headers["warc-target-uri"])
+        return sorted(got)
+
+    whole = parse(len(raw))
+    assert len(whole) == 12 and "http://fake.example/phantom" not in whole
+    for split_bytes in (97, 256, 512, 1024):
+        assert parse(split_bytes) == whole, split_bytes
