@@ -979,6 +979,32 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_components(pairs)
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same pair graph and cluster semantics as `dedup_clusters`, folded
+    by the alternating small-star/large-star contraction instead of
+    min-label propagation (O(log n) rounds vs component diameter — the
+    variant for chain-shaped near-dup graphs).  Both must reach the same
+    fixpoint, so this entry shares `dedup_clusters`' recursive-CTE
+    oracle verbatim — the driver independently confirms the two
+    algorithms agree with the SQL ground truth."""
+    from pdf_extraction_spark.operators.dedup import (
+        dedup_components_star,
+        minhash_lsh_dedup_pairs,
+    )
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx ww vv")).alias("text"),
+    )
+    corpus = _spread(d.unionByName(pert))
+    pairs = minhash_lsh_dedup_pairs(
+        corpus, "doc_id", "text", n=3, num_perms=16, bands=8,
+        num_threshold=1, den_threshold=2, max_bucket=64,
+    )
+    return dedup_components_star(pairs)
+
+
 _ORACLE_CLUSTERS = f"""
 WITH RECURSIVE pairs AS (
   SELECT id_a, id_b FROM ({_ORACLE_MINHASH})
@@ -2207,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "dedup_incremental": q_dedup_incremental,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         # training-data curation extras
@@ -2272,6 +2299,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _ORACLE_MINHASH,
         "dedup_simhash": _ORACLE_SIMHASH,
         "dedup_clusters": _ORACLE_CLUSTERS,
+        "dedup_clusters_star": _ORACLE_CLUSTERS,
         "dedup_incremental": _ORACLE_INCREMENTAL,
         "dedup_embedding_cosine": _ORACLE_EMB_NEARDUP,
         "pii_scrub": _ORACLE_PII,
