@@ -106,6 +106,7 @@ def _commit_staged_groups(
     """
     import shutil
 
+    empty_template = None
     for g in batch:
         src = os.path.join(staging, f"group={g}")
         dst = os.path.join(out_path, f"group={g}")
@@ -114,9 +115,15 @@ def _commit_staged_groups(
         if os.path.isdir(src):
             os.replace(src, dst)
         else:
-            spark.createDataFrame([], empty_schema).write.mode(
-                "overwrite"
-            ).parquet(dst)
+            # schema-bearing empty parquet: written ONCE per pass (a
+            # sparse pass can have thousands of empty groups; one Spark
+            # write job each would serialize pure overhead), then copied
+            if empty_template is None:
+                empty_template = os.path.join(staging, "_empty-template")
+                spark.createDataFrame([], empty_schema).write.mode(
+                    "overwrite"
+                ).parquet(empty_template)
+            shutil.copytree(empty_template, dst)
         _write_manifest_atomic(_manifest_path(out_path, g), manifest_for(g))
         summary["committed"].append(g)
         committed_count += 1
@@ -213,12 +220,14 @@ def run_extraction(
         lineage: dict[int, list] = {g: [] for g in batch}
         lineage_ref = None
         # provenance column: file-source scans expose input_file_name();
-        # sources that synthesize rows off a non-file plan (byte-range
-        # WARC splits) carry an explicit source_file column instead —
-        # input_file_name() would be '' there and lose all provenance
+        # the WARC source synthesizes rows off a non-file plan (byte-range
+        # splits) where input_file_name() is '', so it carries the archive
+        # path as its source_file column.  Gated on the INPUT FORMAT, not
+        # on column sniffing — a user parquet table legitimately carrying
+        # its own source_file column must not hijack lineage
         file_expr = (
             F.col("source_file")
-            if "source_file" in pages.columns
+            if input_format == "warc"
             else F.input_file_name()
         )
         # per-file totals first: its row count IS the file count (no

@@ -76,6 +76,8 @@ def _iter_warc_records(raw: bytes):
         except ValueError:
             return
         body_start = head_end + 4
+        if body_start + length > n:
+            return  # truncated tail record: no full payload -> drop
         payload = raw[body_start : body_start + length]
         yield headers, payload
         pos = body_start + length
@@ -180,6 +182,8 @@ def _iter_warc_records_range(f, start: int, end: int, read_chunk: int = 1 << 22)
     (.gz archives resolve it structurally via gzip members).  Memory is
     bounded by read_chunk + one record.
     """
+    f.seek(0, 2)
+    file_size = f.tell()
     pre = 4 if start > 0 else 0
     f.seek(start - pre)
     base = start - pre  # file offset of buf[0]
@@ -207,25 +211,38 @@ def _iter_warc_records_range(f, start: int, end: int, read_chunk: int = 1 << 22)
         record boundary — the decisive check against a fully valid-looking
         fake record embedded in a payload (e.g. a WARC archived inside a
         WARC): a fake's content-length almost never lands exactly on the
-        next true boundary, while every real record's always does."""
+        next true boundary, while every real record's always does.
+
+        The follow-position is PEEKED via seek/read (position restored),
+        never by extending ``buf`` — a lying Content-Length must not pull
+        the rest of the archive into memory just to be rejected.
+        """
         he = _complete_header(p)
         if he < 0:
             return False
         parsed = _parse_header_block(buf[p:he])
         if parsed is None or "warc-type" not in parsed[0]:
             return False
-        q = he + 4 + parsed[1]
-        while True:
-            while len(buf) < q + 2 and _extend():
-                pass
-            if q >= len(buf):
-                return q == len(buf)  # record ends exactly at EOF
-            if buf[q : q + 2] == b"\r\n":
-                q += 2
-                continue
-            while len(buf) - q < len(_WARC_MAGIC) and _extend():
-                pass
-            return buf.startswith(_WARC_MAGIC, q)
+        abs_q = base + he + 4 + parsed[1]
+        if abs_q > file_size:
+            return False  # claimed payload runs past EOF (lie/truncation)
+        if abs_q == file_size:
+            return True
+        peek = b""
+        if abs_q < base + len(buf):
+            peek = buf[abs_q - base : abs_q - base + 64]
+        if len(peek) < 64 and abs_q + len(peek) < file_size:
+            # follow-position (or its tail) lies past the buffer: peek it
+            # from the file and restore the sequential read position
+            f.seek(abs_q)
+            peek = f.read(64)
+            f.seek(base + len(buf))
+        consumed = 0
+        while peek.startswith(b"\r\n", consumed):
+            consumed += 2
+        if not peek[consumed:]:
+            return abs_q + consumed == file_size
+        return peek.startswith(_WARC_MAGIC, consumed)
 
     # align to the first valid record boundary at global offset >= start
     pos = -1
@@ -258,6 +275,8 @@ def _iter_warc_records_range(f, start: int, end: int, read_chunk: int = 1 << 22)
             max(read_chunk, body_start + length - len(buf))
         ):
             pass
+        if len(buf) < body_start + length:
+            return  # truncated tail record (matches _iter_warc_records)
         payload = buf[body_start : body_start + length]
         yield headers, payload
         pos = body_start + length

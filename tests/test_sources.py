@@ -301,6 +301,15 @@ def test_warc_range_iterator_rejects_embedded_fake_record():
         if i == 4:
             # decoy surrounded by junk on both sides -> cannot chain
             body = b"<p>archived warc:\r\n\r\n" + fake + b"junk tail " * 30 + b"</p>"
+        if i == 7:
+            # decoy with a LYING huge Content-Length: must be rejected by
+            # the bounded peek, not by buffering the rest of the archive
+            liar = (
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: http://fake.example/liar\r\n"
+                b"Content-Length: 999999999\r\n\r\n"
+            )
+            body = b"<p>big lie:\r\n\r\n" + liar + b"tail " * 40 + b"</p>"
         rows.append((f"http://real.example/{i}", dt.datetime(2026, 7, 1), body))
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "decoy.warc")
@@ -317,6 +326,44 @@ def test_warc_range_iterator_rejects_embedded_fake_record():
         return sorted(got)
 
     whole = parse(len(raw))
-    assert len(whole) == 12 and "http://fake.example/phantom" not in whole
+    assert len(whole) == 12
+    assert not any("fake.example" in u for u in whole)
     for split_bytes in (97, 256, 512, 1024):
         assert parse(split_bytes) == whole, split_bytes
+
+
+def test_warc_truncated_tail_consistent_between_whole_and_split():
+    """An archive truncated mid-final-record: BOTH the whole-file parser
+    and the byte-range parser drop the partial tail, so results stay
+    invariant to split_bytes even on corrupt input."""
+    import datetime as dt
+    import io
+    import os
+    import tempfile
+
+    from pdf_extraction_spark.sources.warc import (
+        _iter_warc_records,
+        _iter_warc_records_range,
+        write_pages_warc,
+    )
+
+    rows = [
+        (f"http://t.example/{i}", dt.datetime(2026, 8, 1), b"<p>" + b"t" * 200 + b"</p>")
+        for i in range(6)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "trunc.warc")
+        write_pages_warc(rows, path, compress=False)
+        raw = open(path, "rb").read()[:-60]  # chop into the last payload
+
+    whole = [h["warc-target-uri"] for h, _ in _iter_warc_records(raw)]
+    assert len(whole) == 5  # the truncated 6th record is dropped
+
+    for split_bytes in (128, 300, 1024, len(raw)):
+        got = []
+        for s in range(0, len(raw), split_bytes):
+            for h, _ in _iter_warc_records_range(
+                io.BytesIO(raw), s, min(s + split_bytes, len(raw)), read_chunk=128
+            ):
+                got.append(h["warc-target-uri"])
+        assert sorted(got) == sorted(whole), split_bytes
