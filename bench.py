@@ -150,6 +150,8 @@ def main():
 
     spark = get_spark(app="bench", cpus=cpus, shuffle_partitions=cpus)
 
+    _steal_suite0 = _steal_core_s()
+
     # --- flagship: extraction throughput -----------------------------------
     pages = build_bench_pages(spark, sf_dir, REPLICATION)
     # many files on disk: small synthetic rows compress so hard that an
@@ -184,7 +186,10 @@ def main():
     )
 
     # --- headline query timings --------------------------------------------
-    qs = entrymod.queries()
+    # all_queries(): the headline set intentionally includes twins retired
+    # from the driver-facing queries() subset so round-over-round bench
+    # comparisons stay like-for-like
+    qs = entrymod.all_queries()
     timings = {
         "extraction_pipeline_bulk": round(extract_sec, 3),
         "extraction_pipeline_shuffled": round(extract_shuffled_sec, 3),
@@ -214,6 +219,9 @@ def main():
         # hypervisor steal observed during contended queries (core-s);
         # empty dict = clean window, timings are engine numbers
         "steal_core_s": steal,
+        # total steal across the whole suite run: one number that says
+        # whether the window was clean (≈0) or fully contended
+        "steal_total_core_s": round(_steal_core_s() - _steal_suite0, 1),
     }
     print(json.dumps(result))
     spark.stop()
