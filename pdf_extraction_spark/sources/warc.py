@@ -179,17 +179,19 @@ def _iter_warc_records_range(f, start: int, end: int, read_chunk: int = 1 << 22)
     as the exact SUFFIX of its enclosing payload chains onto the real
     next boundary and is emitted as one phantom record by the split that
     starts inside it — locally indistinguishable without an offset index
-    (.gz archives resolve it structurally via gzip members).  Memory is
-    bounded by read_chunk + one record.
+    (.gz archives resolve it structurally via gzip members).
+
+    The file is read lazily in ``read_chunk`` increments (never the whole
+    range upfront) and the consumed prefix of the buffer is compacted once
+    it exceeds 2x read_chunk, so memory — and total memcpy — is bounded by
+    ~2x read_chunk + one record regardless of split size.
     """
     f.seek(0, 2)
     file_size = f.tell()
     pre = 4 if start > 0 else 0
     f.seek(start - pre)
     base = start - pre  # file offset of buf[0]
-    # read a little past `end` so a record starting in the final bytes of
-    # the range still has its full magic visible to the boundary scan
-    buf = f.read(max(end - start, 0) + pre + len(_WARC_MAGIC) + 8)
+    buf = f.read(read_chunk)
 
     def _extend(n=read_chunk):
         nonlocal buf
@@ -244,13 +246,30 @@ def _iter_warc_records_range(f, start: int, end: int, read_chunk: int = 1 << 22)
             return abs_q + consumed == file_size
         return peek.startswith(_WARC_MAGIC, consumed)
 
-    # align to the first valid record boundary at global offset >= start
+    # align to the first valid record boundary at global offset >= start;
+    # the scan window is compacted too, so a split landing deep inside one
+    # giant payload never accumulates the whole range in memory
     pos = -1
     search = 0
     while True:
         p = buf.find(_WARC_MAGIC, search)
-        if p < 0 or base + p >= end:
-            return
+        if p >= 0 and base + p >= end:
+            return  # next candidate starts in the following split
+        if p < 0:
+            # any unseen magic would have to START at or past `end`?
+            if base + len(buf) - (len(_WARC_MAGIC) - 1) >= end:
+                return
+            if len(buf) > 2 * read_chunk:
+                # keep 4 separator bytes + a possibly-straddling magic tail;
+                # everything before was already searched and rejected
+                keep = 4 + len(_WARC_MAGIC) - 1
+                cut = len(buf) - keep
+                buf = buf[cut:]
+                base += cut
+            search = max(0, len(buf) - (len(_WARC_MAGIC) - 1))
+            if not _extend():
+                return
+            continue
         boundary_ok = (base + p == 0) or (
             p >= 4 and buf[p - 4 : p] == b"\r\n\r\n"
         )
@@ -258,28 +277,30 @@ def _iter_warc_records_range(f, start: int, end: int, read_chunk: int = 1 << 22)
             pos = p
             break
         search = p + 1
-    # parse records sequentially from the aligned boundary
+    # parse records sequentially from the aligned boundary; `pos` is a
+    # cursor into buf — the consumed prefix is compacted only when it
+    # exceeds 2x read_chunk (never a per-record slice copy)
     while True:
-        buf = buf[pos:]
-        base += pos
-        pos = 0
-        he = _complete_header(0)
+        if pos > 2 * read_chunk:
+            buf = buf[pos:]
+            base += pos
+            pos = 0
+        he = _complete_header(pos)
         if he < 0:
             return
-        parsed = _parse_header_block(buf[:he])
+        parsed = _parse_header_block(buf[pos:he])
         if parsed is None:
             return  # corrupt stream past a valid prefix — stop, don't guess
         headers, length = parsed
         body_start = he + 4
-        while len(buf) < body_start + length and _extend(
-            max(read_chunk, body_start + length - len(buf))
-        ):
+        need = body_start + length
+        while len(buf) < need and _extend(max(read_chunk, need - len(buf))):
             pass
-        if len(buf) < body_start + length:
+        if len(buf) < need:
             return  # truncated tail record (matches _iter_warc_records)
-        payload = buf[body_start : body_start + length]
+        payload = buf[body_start:need]
         yield headers, payload
-        pos = body_start + length
+        pos = need
         while True:
             if pos + 2 > len(buf) and not _extend():
                 return
