@@ -707,7 +707,7 @@ WITH t AS (
   SELECT doc_id,
          regexp_extract_all(
            substr(text, 1, 80) || ', it''s 42% done!',
-           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}'']+|\s+'
+           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
          ) AS toks,
          len(regexp_split_to_array(
            trim(substr(text, 1, 80) || ', it''s 42% done!'), '\s+')) AS n_ws

@@ -204,8 +204,11 @@ def fingerprint_winnow(
 # this lookahead-free variant keeps the branch ORDER (contraction
 # suffixes, space-prefixed letter runs, digit runs, punctuation runs,
 # whitespace runs) so Java regex (Spark) and RE2 (DuckDB), both
-# leftmost-first on alternation, tokenize identically.
-BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}']+|\s+"
+# leftmost-first on alternation, tokenize identically.  The punctuation
+# class includes the apostrophe, exactly as GPT-2's does — a stray `'`
+# (possessive plural "dogs'", "rock 'n' roll") lands in the punctuation
+# run, while true contractions still win via the earlier branch.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 
 def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

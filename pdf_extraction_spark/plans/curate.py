@@ -184,7 +184,11 @@ def run_curation(
                 "emails_redacted": int(m_out[f"em_{g}"] or 0),
                 "phones_redacted": int(m_out[f"ph_{g}"] or 0),
                 "output_checksum": int(m_out[f"chk_{g}"] or 0),
-                "wall_sec": pass_wall,  # wall of the shared pass
+                # this group's share of the shared pass (aggregatable);
+                # the full pass wall lives under pass_wall_sec
+                "wall_sec": round(pass_wall / len(batch), 3),
+                "pass_wall_sec": pass_wall,
+                "pass_group_count": len(batch),
             }
 
         committed_count = _commit_staged_groups(

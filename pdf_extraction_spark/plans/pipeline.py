@@ -330,7 +330,13 @@ def run_extraction(
                 "lineage": sorted(
                     lineage[g], key=lambda r: r["input_file"]
                 ),
-                "wall_sec": pass_wall,  # wall of the shared pass
+                # wall_sec stays aggregatable across manifests: this
+                # group's share of the shared pass.  The pass's full wall
+                # is under pass_wall_sec (summing THAT across a batch
+                # overcounts by pass_group_count, by construction).
+                "wall_sec": round(pass_wall / len(batch), 3),
+                "pass_wall_sec": pass_wall,
+                "pass_group_count": len(batch),
                 "num_partitions": num_partitions,
                 "salt_buckets": salt_buckets,
             }

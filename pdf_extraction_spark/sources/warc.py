@@ -112,20 +112,6 @@ def _append_record(out: dict, headers: dict, payload: bytes, source_file: str) -
     out["source_file"].append(source_file)
 
 
-def _warc_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        out = {"url": [], "warc_ts": [], "html": [], "text": [],
-               "lang": [], "source_file": []}
-        for path, content in zip(pdf["path"], pdf["content"]):
-            raw = bytes(content)
-            if path.endswith(".gz") or raw[:2] == b"\x1f\x8b":
-                raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
-            for headers, payload in _iter_warc_records(raw):
-                _append_record(out, headers, payload, str(path))
-        if out["url"]:  # an all-empty frame would lose the ts dtype
-            yield pd.DataFrame(out)
-
-
 # --- byte-range splitting of uncompressed .warc files -----------------------
 
 _WARC_MAGIC = b"WARC/1."
@@ -317,15 +303,33 @@ def _iter_warc_records_range(f, start: int, end: int, read_chunk: int = 1 << 22)
 
 
 def _warc_split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Row-driven WARC reader: each input row is (path, start, end).
+
+    end >= 0  -> parse records starting in [start, end) of an uncompressed
+                 archive (byte-range split).
+    end == -1 -> read the whole file (gzip-sniffed), one file per row.
+
+    Paths are binaryFile-listing URIs opened via _open_binary (which
+    unquotes percent-encoding) — never fed back through a Hadoop glob, so
+    filenames containing glob metacharacters (* [ { %) are safe."""
     for pdf in batches:
         out = {"url": [], "warc_ts": [], "html": [], "text": [],
                "lang": [], "source_file": []}
         for path, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
-            with _open_binary(str(path)) as f:
-                for headers, payload in _iter_warc_records_range(
-                    f, int(start), int(end)
-                ):
-                    _append_record(out, headers, payload, str(path))
+            path, start, end = str(path), int(start), int(end)
+            if end < 0:
+                with _open_binary(path) as f:
+                    raw = f.read()
+                if path.endswith(".gz") or raw[:2] == b"\x1f\x8b":
+                    raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
+                for headers, payload in _iter_warc_records(raw):
+                    _append_record(out, headers, payload, path)
+            else:
+                with _open_binary(path) as f:
+                    for headers, payload in _iter_warc_records_range(
+                        f, start, end
+                    ):
+                        _append_record(out, headers, payload, path)
         if out["url"]:  # an all-empty frame would lose the ts dtype
             yield pd.DataFrame(out)
 
@@ -349,35 +353,26 @@ def read_pages_warc(
     meta = (
         spark.read.format("binaryFile").load(path).select("path", "length").collect()
     )
-    whole_files: list[str] = []
-    split_rows: list[tuple[str, int, int]] = []
+    # one row per task: whole files are (path, 0, -1); big uncompressed
+    # archives fan out into (path, start, end) byte ranges.  All reads go
+    # through _open_binary on the listed URI — the listed paths are never
+    # fed back through a second Hadoop glob, so filenames containing glob
+    # metacharacters or literal % resolve correctly.
+    task_rows: list[tuple[str, int, int]] = []
     for r in meta:
         p, ln = r["path"], int(r["length"])
         if ln > split_bytes and not p.endswith(".gz") and not _is_gzip(p):
             for s in range(0, ln, split_bytes):
-                split_rows.append((p, s, min(s + split_bytes, ln)))
+                task_rows.append((p, s, min(s + split_bytes, ln)))
         else:
-            whole_files.append(p)
+            task_rows.append((p, 0, -1))
 
-    parts: list[DataFrame] = []
-    if whole_files:
-        files = (
-            spark.read.format("binaryFile")
-            .load(whole_files)
-            .select("path", "content")
-        )
-        parts.append(files.mapInPandas(_warc_batches, schema=WARC_PAGES_SCHEMA))
-    if split_rows:
-        sdf = spark.createDataFrame(
-            split_rows, "path string, start long, end long"
-        ).repartition(len(split_rows))
-        parts.append(sdf.mapInPandas(_warc_split_batches, schema=WARC_PAGES_SCHEMA))
-    if not parts:
+    if not task_rows:
         return spark.createDataFrame([], WARC_PAGES_SCHEMA)
-    out = parts[0]
-    for extra in parts[1:]:
-        out = out.unionByName(extra)
-    return out
+    sdf = spark.createDataFrame(
+        task_rows, "path string, start long, end long"
+    ).repartition(len(task_rows))
+    return sdf.mapInPandas(_warc_split_batches, schema=WARC_PAGES_SCHEMA)
 
 
 def write_pages_warc(rows, path: str, *, compress: bool = True) -> None:

@@ -223,6 +223,7 @@ def test_bpe_token_stats_known_values(spark):
             (1, "it's 42% done!"),
             (2, "hello world"),
             (3, "a1b2"),
+            (4, "rock 'n' roll dogs'"),
         ],
         "doc_id long, text string",
     )
@@ -235,3 +236,7 @@ def test_bpe_token_stats_known_values(spark):
     assert (got[2]["n_bpe_tokens"], got[2]["n_ws_tokens"]) == (2, 2)
     # doc 3: letter/digit alternation splits: [a][1][b][2] = 4 vs 1 ws token
     assert (got[3]["n_bpe_tokens"], got[3]["n_ws_tokens"]) == (4, 1)
+    # doc 4: stray apostrophes land in the punctuation run (GPT-2 class
+    # includes '): [rock][" '"][n]["'"][" roll"][" dogs"]["'"] = 7 — no
+    # piece is silently dropped
+    assert (got[4]["n_bpe_tokens"], got[4]["n_pieces"]) == (7, 7)

@@ -88,8 +88,18 @@ def test_success_and_shared_contract_with_stub(spark):
         _docs(spark, texts), "doc_id", "text", task="extract the title"
     ).collect()
 
-    assert {tuple(r.asDict()) for r in rows} == {tuple(s.asDict()) for s in stub}
-    assert sorted(r["prompt"] for r in rows) == sorted(s["prompt"] for s in stub)
+    # same column set AND order (tuple(asDict()) would only compare keys)
+    assert rows[0].__fields__ == stub[0].__fields__
+    # value contract: doc_id + prompt align row-for-row, and both sides
+    # fill exactly one of (generated_text, error)
+    by_id_client = {r["doc_id"]: r for r in rows}
+    by_id_stub = {s["doc_id"]: s for s in stub}
+    assert by_id_client.keys() == by_id_stub.keys()
+    for k in by_id_client:
+        assert by_id_client[k]["prompt"] == by_id_stub[k]["prompt"]
+        assert (by_id_stub[k]["generated_text"] is None) != (
+            by_id_stub[k]["error"] is None
+        )
     for r in rows:
         assert (r["generated_text"] is None) != (r["error"] is None)
         assert r["generated_text"].startswith("ok:")
