@@ -848,7 +848,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     discovery grew quadratically within blocks at 100x); candidates come
     from bucketed LSH and only those pairs pay the exact-Jaccard check.
     The corpus plants prefix-perturbed near-dups so the verify output is
-    non-trivially populated."""
+    non-trivially populated.
+
+    ``max_bucket=64`` (the library default is 256) bounds the in-bucket
+    pair expansion: 2-gram shingles are weakly discriminative, so one
+    degenerate band bucket of k docs would otherwise pay a k^2/2 pair +
+    verify blow-up — with the cap, a slow driver-bench window for this
+    query indicates machine contention (see steal_core_s in the bench
+    artifact), never data-dependent quadratic work."""
     from pdf_extraction_spark.operators.dedup import minhash_lsh_dedup_pairs
 
     d = _load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1560,6 +1567,86 @@ FROM sv GROUP BY doc_id, n
 """
 
 
+def q_multimodal_png_decode(spark, sf_dir):
+    """REAL compressed-image decode: spec-conformant 8-bit RGB/RGBA PNGs
+    (zlib IDAT split across two chunks, ancillary tEXt, scanlines cycling
+    all five filter types) are synthesized per doc id, then the pure-Python
+    decoder walks chunks (CRC-verified), inflates, and unfilters
+    None/Sub/Up/Average/Paeth.  The DuckDB twin never parses PNG: it
+    recomputes the expected per-channel stats analytically from the
+    generator's md5 pixel formula, so any codec error (a wrong filter
+    inverse, a missed IDAT, top-down/bottom-up confusion) breaks the
+    match.  Covers the compressed-format gap the IMG1 stub documented
+    (multimodal.py decode_image); reference analogue: the PIL image side
+    of pdfextraction.py:72-73."""
+    from pdf_extraction_spark.operators.multimodal import decode_png, synth_png
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    blobs = synth_png(d, "doc_id")
+    return decode_png(blobs, "media_id", "blob")
+
+
+_ORACLE_PNG_DECODE = """
+WITH m AS (
+  SELECT doc_id, CAST(doc_id % 5 + 4 AS INT) AS w, CAST(doc_id % 4 + 4 AS INT) AS h,
+         CAST(doc_id % 2 + 3 AS INT) AS ch
+  FROM documents
+),
+rows_ AS (SELECT doc_id, w, h, ch, unnest(range(h)) AS j FROM m),
+rh AS (
+  SELECT doc_id, w, h, ch, j,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':p' || CAST(j AS VARCHAR) || ':a')
+                || md5(CAST(doc_id AS VARCHAR) || ':p' || CAST(j AS VARCHAR) || ':b'),
+                1, w*ch*2) AS hx
+  FROM rows_
+),
+b AS (SELECT doc_id, w, h, ch, j, unnest(range(w*ch)) AS k, hx FROM rh),
+v AS (
+  SELECT doc_id, w, h, ch, j, k,
+         CAST(('0x' || substr(hx, CAST(k*2 + 1 AS INT), 2)) AS INT) AS val,
+         k % ch AS chan
+  FROM b
+)
+SELECT doc_id AS media_id, w AS width, h AS height, ch AS channels,
+       CAST(sum(CASE WHEN chan = 0 THEN val END) * 1000 // (w*h) AS BIGINT) AS mean_r_milli,
+       CAST(sum(CASE WHEN chan = 1 THEN val END) * 1000 // (w*h) AS BIGINT) AS mean_g_milli,
+       CAST(sum(CASE WHEN chan = 2 THEN val END) * 1000 // (w*h) AS BIGINT) AS mean_b_milli,
+       CAST(sum(CASE WHEN chan = 3 THEN val END) * 1000 // (w*h) AS BIGINT) AS mean_a_milli,
+       CAST(max(CASE WHEN j = 0 AND k = 0 THEN val END) AS INT) AS tl_r,
+       CAST(max(CASE WHEN j = 0 AND k = 1 THEN val END) AS INT) AS tl_g,
+       CAST(max(CASE WHEN j = 0 AND k = 2 THEN val END) AS INT) AS tl_b,
+       CAST(max(CASE WHEN ch = 4 AND j = 0 AND k = 3 THEN val END) AS INT) AS tl_a,
+       CAST(1 AS INT) AS is_valid
+FROM v GROUP BY doc_id, w, h, ch
+"""
+
+
+def q_extract_pdf_text(spark, sf_dir):
+    """Text extraction from REAL %PDF bytes (the reference's core
+    capability, pdfextraction.py:33-35 / app.py:46-52): each document's
+    text becomes a 2-page PDF via the from-scratch builder (xref table,
+    FlateDecode via stdlib zlib, Tj/TJ/'/hex show ops; variants: raw
+    streams, indirect /Length, vandalized startxref forcing scan
+    recovery), and the from-scratch parser must recover the pages from
+    the bytes alone.  The oracle never parses PDF — it asserts the
+    analytic identity extracted_text == text, so ANY builder or parser
+    defect breaks the value hash."""
+    from pdf_extraction_spark.operators.pdf_text import extract_pdf_roundtrip
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_pdf_roundtrip(d, "doc_id", "text")
+
+
+_ORACLE_PDF_TEXT = """
+SELECT doc_id,
+       CAST(2 AS INT) AS n_pages,
+       CAST(length(coalesce(text, '')) // 2 AS INT) AS page1_chars,
+       CAST(length(coalesce(text, '')) AS INT) AS n_chars,
+       coalesce(text, '') AS extracted_text
+FROM documents
+"""
+
+
 def q_multimodal_decode_fake(spark, sf_dir):
     """Stubbed pixel decode (fake=True deterministic stand-in; real decode
     raises NotImplementedError — no image libs in this container)."""
@@ -2220,6 +2307,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_ocr_fields": q_extract_ocr_fields,
         "extract_errors": q_extract_errors,
         "extraction_skewed": q_extraction_skewed,
+        "extract_pdf_text": q_extract_pdf_text,
         "llm_enrich_error": q_llm_enrich_error,
         "csv_export_bytes": q_csv_export_bytes,
         # text analysis
@@ -2257,6 +2345,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_bmp_decode": q_multimodal_bmp_decode,
         "multimodal_wav_decode": q_multimodal_wav_decode,
+        "multimodal_png_decode": q_multimodal_png_decode,
         "multimodal_decode_fake": q_multimodal_decode_fake,
         # relational coverage
         "pricing_summary": q_pricing_summary,
@@ -2387,6 +2476,7 @@ def all_oracles() -> dict[str, str]:
         "extract_ocr_fields": _ORACLE_OCR_FIELDS,
         "extract_errors": _ORACLE_EXTRACT_ERRORS,
         "extraction_skewed": _ORACLE_EXTRACTION_SKEWED,
+        "extract_pdf_text": _ORACLE_PDF_TEXT,
         "llm_enrich_error": _ORACLE_LLM_ERROR,
         "csv_export_bytes": _ORACLE_CSV_BYTES,
         "extraction_pipeline": _ORACLE_PIPELINE,
@@ -2420,6 +2510,7 @@ def all_oracles() -> dict[str, str]:
         "multimodal_frame_sample": _ORACLE_MM_FRAMES,
         "multimodal_bmp_decode": _ORACLE_BMP_DECODE,
         "multimodal_wav_decode": _ORACLE_WAV_DECODE,
+        "multimodal_png_decode": _ORACLE_PNG_DECODE,
         "multimodal_decode_fake": _ORACLE_MM_DECODE,
         "pricing_summary": _ORACLE_PRICING,
         "top_customers": _ORACLE_TOP_CUSTOMERS,

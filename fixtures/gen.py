@@ -11,6 +11,11 @@ Grammar mix (FIXTURES.md §2): each row i is tagged i%4 ->
 
 `text` carries the per-page text layer joined by \\x0c (form-feed), so the
 F4 page-concat fold is exercised; `html` is non-null only for H rows.
+A third of the D and L rows (i%12 in {0,3}) ALSO carry real ``%PDF-``
+bytes in `html`, built from the page texts by pdf_parse.build_pdf (xref
+table, FlateDecode streams, Tj/TJ/'/hex text ops) — the pipeline must
+recover the pages from the BYTES while the oracle reads the text layer,
+so golden equality cross-checks the from-scratch PDF parser.
 Hosts are Zipf-skewed (a few hosts own ~30% of rows) to exercise salting.
 
 No wall-clock, no unseeded randomness: same args -> bit-identical parquet.
@@ -19,10 +24,15 @@ No wall-clock, no unseeded randomness: same args -> bit-identical parquet.
 from __future__ import annotations
 
 import datetime as dt
+import os
 import random
+import sys
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+# runnable as `python fixtures/gen.py` (repo root not on sys.path then)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PAGE_SEP = "\x0c"
 EPOCH = dt.datetime(2025, 1, 1, 0, 0, 0)
@@ -160,22 +170,40 @@ def gen_pages(n_rows: int, seed: int = 42) -> pa.Table:
     rng = random.Random(seed)
     urls, tss, htmls, texts, langs = [], [], [], [], []
     langs_cycle = ["en", "de", "fr", "es", "zh"]
+    from pdf_extraction_spark.pdf_parse import build_pdf
+
     for i in range(n_rows):
         kind = i % 4
         host = _host(rng)
+        as_pdf = i % 12 in (0, 3)  # a third of the D and L rows
         kind_name = ["direct", "ocr", "html", "long"][kind]
+        if as_pdf and kind in (0, 3):
+            kind_name = "pdf-" + kind_name
         urls.append(f"https://{host}/{kind_name}/{i}")
         tss.append(EPOCH + dt.timedelta(seconds=17 * i))
         if kind == 2:
             htmls.append(_grammar_h(rng, i))
             texts.append(None)
         else:
-            htmls.append(None)
-            texts.append(
+            text = (
                 _grammar_d(rng, i) if kind == 0
                 else _grammar_o(rng, i) if kind == 1
                 else _grammar_l(rng, i)
             )
+            if as_pdf and kind in (0, 3):
+                # real PDF bytes built from the page texts; the text
+                # layer stays as the oracle's golden — the kernel must
+                # recover it from the bytes alone
+                htmls.append(
+                    build_pdf(
+                        text.split(PAGE_SEP),
+                        compress=i % 24 != 12,       # one raw-stream variant
+                        indirect_length=i % 24 == 0,  # forward /Length refs
+                    )
+                )
+            else:
+                htmls.append(None)
+            texts.append(text)
         langs.append(langs_cycle[i % 5])
     return pa.table(
         {

@@ -189,6 +189,14 @@ def label_spans(extracted_text: str, fields):
 def extract_document(url, html_bytes, text, max_doc_chars=None):
     """Per-document dispatch — the unit of work inside ``mapInPandas``.
 
+    * PDF rows (``html_bytes`` starts with ``%PDF-``): per-page text is
+      recovered from the raw PDF bytes by the from-scratch parser
+      (pdf_parse.extract_pdf_pages — the engine's pdfplumber
+      ``page.extract_text()`` analogue, pdfextraction.py:33-35), then the
+      same F4-fold + Direct + OCR paths run over the recovered pages.
+      The ``text`` column is IGNORED for these rows — when the fixture
+      carries a golden text layer there, byte-equality of the outputs is
+      a real cross-check of the parser.
     * HTML rows (``html_bytes`` is not None): boilerplate-strip to get the
       text layer (html_extract.extract_main_text), then run the Direct
       field extraction on it.
@@ -214,7 +222,15 @@ def extract_document(url, html_bytes, text, max_doc_chars=None):
             raise ValueError(
                 f"document exceeds max_doc_chars={max_doc_chars} ({n_in})"
             )
-        if html_bytes is not None:
+        if html_bytes is not None and bytes(html_bytes[:5]) == b"%PDF-":
+            from pdf_extraction_spark.pdf_parse import extract_pdf_pages
+
+            doc_kind = "pdf"
+            pages = extract_pdf_pages(bytes(html_bytes))
+            extracted_text = concat_pages_direct(pages)
+            fields = extract_fields_direct(extracted_text)
+            page_fields = extract_fields_ocr(pages)
+        elif html_bytes is not None:
             doc_kind = "html"
             extracted_text = extract_main_text(bytes(html_bytes))
             fields = extract_fields_direct(extracted_text)

@@ -132,9 +132,14 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_perms: int = 16,
     bands: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs: (id_a, id_b), id_a < id_b.
+
+    ``max_bucket`` defaults to 256 (pass ``None`` to disable): a
+    degenerate band bucket of k docs emits k^2/2 pairs, so an uncapped
+    call can quadratically amplify one hot bucket into the whole query's
+    runtime — the cap bounds worst-case work per bucket by construction.
 
     shingle -> minhash -> band -> bucket -> in-bucket pair expansion.
     At scale: signatures and band keys are per-row JVM expressions (no
@@ -199,9 +204,13 @@ def minhash_lsh_dedup_pairs(
     bands: int = 4,
     num_threshold: int = 1,
     den_threshold: int = 2,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified by exact Jaccard.
+
+    ``max_bucket`` defaults to 256 (``None`` disables): without the cap a
+    single degenerate band bucket pays a quadratic pair expansion AND a
+    quadratic exact-Jaccard verify — see minhash_lsh_candidates.
 
     SCAN-ONCE shape: the hashed gram set rides along into the band-bucket
     aggregate (collect_list of (id, hs) structs) and the exact-Jaccard

@@ -27,6 +27,7 @@ column out of scans that read metadata alone.
 from __future__ import annotations
 
 import hashlib
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -543,3 +544,254 @@ def decode_wav(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
         F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
     )
     return src.mapInPandas(_wav_decode_batches, schema=WAV_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode: PNG (8-bit RGB / RGBA) — stdlib zlib inflates IDAT,
+# so unlike JPEG this compressed format needs NO image library.  The
+# decoder is a genuine from-scratch PNG reader: signature check, chunk
+# walk with CRC32 verification (skipping ancillary chunks), multi-IDAT
+# reassembly into one zlib stream, and per-scanline unfilter for all
+# five filter types (None/Sub/Up/Average/Paeth).  The matching
+# synthesizer emits spec-conformant PNGs whose scanlines cycle through
+# all five filters, so a wrong unfilter inverse cannot cancel out.
+# Reference analogue: the pixel side of pdfextraction.py:72-73
+# (convert_from_bytes -> PIL images), minus the poppler render.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_row_bytes(media_id: int, j: int, n: int) -> bytes:
+    """Row j's raw pixel bytes: md5(id:pj:a) || md5(id:pj:b) truncated to
+    n bytes — the same formula the DuckDB oracle reconstructs."""
+    a = hashlib.md5(f"{media_id}:p{j}:a".encode()).digest()
+    b = hashlib.md5(f"{media_id}:p{j}:b".encode()).digest()
+    return (a + b)[:n]
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def synth_png_bytes(media_id: int) -> bytes:
+    """A spec-conformant 8-bit PNG from an integer id: w = id%5+4,
+    h = id%4+4, RGB for even ids / RGBA for odd (colour types 2/6).
+    Scanline j uses filter type j%5 — every filter appears in every
+    image with h >= 5.  The single zlib stream is split across two IDAT
+    chunks and an ancillary tEXt chunk sits before them, so the decoder
+    must reassemble IDATs and skip non-critical chunks.  Pixel bytes
+    come from the md5 formula in _png_row_bytes (analytically mirrored
+    by the driver oracle)."""
+    w = media_id % 5 + 4
+    h = media_id % 4 + 4
+    ch = 3 + media_id % 2
+    bpp = ch  # bytes per pixel at bit depth 8
+    raw_rows = [_png_row_bytes(media_id, j, w * ch) for j in range(h)]
+    filtered = bytearray()
+    prev = bytes(w * ch)
+    for j, row in enumerate(raw_rows):
+        ft = j % 5
+        filtered.append(ft)
+        for i, x in enumerate(row):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                f = x
+            elif ft == 1:
+                f = (x - a) & 0xFF
+            elif ft == 2:
+                f = (x - b) & 0xFF
+            elif ft == 3:
+                f = (x - (a + b) // 2) & 0xFF
+            else:
+                f = (x - _paeth(a, b, c)) & 0xFF
+            filtered.append(f)
+        prev = row
+    comp = zlib.compress(bytes(filtered), 9)
+    half = len(comp) // 2
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2 if ch == 3 else 6, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tEXt", b"Comment\x00synthetic")
+        + _png_chunk(b"IDAT", comp[:half])
+        + _png_chunk(b"IDAT", comp[half:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def parse_png(raw: bytes):
+    """Parse an 8-bit colour-type-2/6 PNG; returns (w, h, channels, rows)
+    with rows[j] = scanline j's raw (unfiltered) bytes, or None if the
+    blob is not a decodable PNG of that shape.  Verifies every chunk's
+    CRC32, concatenates all IDAT chunks into one zlib stream, and
+    inverts all five scanline filters."""
+    if len(raw) < 8 or raw[:8] != _PNG_SIG:
+        return None
+    pos, n = 8, len(raw)
+    w = h = ch = None
+    idat = bytearray()
+    while pos + 12 <= n:
+        length = int.from_bytes(raw[pos : pos + 4], "big")
+        ctype = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            return None
+        crc = int.from_bytes(raw[pos + 8 + length : pos + 12 + length], "big")
+        if (zlib.crc32(ctype + body) & 0xFFFFFFFF) != crc:
+            return None
+        if ctype == b"IHDR":
+            if length != 13:
+                return None
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, colour, comp_m, filt_m, interlace = body[8:13]
+            if depth != 8 or colour not in (2, 6) or comp_m or filt_m or interlace:
+                return None
+            ch = 3 if colour == 2 else 4
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        # any other chunk (ancillary or unknown): skip
+        pos += 12 + length
+    if not w or not h or not ch or not idat:
+        return None
+    try:
+        data = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(data) != h * (stride + 1):
+        return None
+    bpp = ch
+    rows: list[bytes] = []
+    prev = bytes(stride)
+    for j in range(h):
+        off = j * (stride + 1)
+        ft = data[off]
+        if ft > 4:
+            return None
+        line = bytearray(data[off + 1 : off + 1 + stride])
+        if ft == 1:
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        prev = bytes(line)
+        rows.append(prev)
+    return w, h, ch, rows
+
+
+PNG_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean_r_milli", LongType()),
+        StructField("mean_g_milli", LongType()),
+        StructField("mean_b_milli", LongType()),
+        StructField("mean_a_milli", LongType()),
+        StructField("tl_r", IntegerType()),
+        StructField("tl_g", IntegerType()),
+        StructField("tl_b", IntegerType()),
+        StructField("tl_a", IntegerType()),
+        StructField("is_valid", IntegerType()),
+    ]
+)
+
+
+def _png_synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": [int(m) for m in pdf["media_id"]],
+                "blob": [synth_png_bytes(int(m)) for m in pdf["media_id"]],
+            }
+        )
+
+
+def synth_png(df: DataFrame, id_col: str) -> DataFrame:
+    """(media_id, blob) with a real PNG per id.  Unlike synth_bmp this
+    cannot be pure JVM expressions (zlib compression), so it runs in the
+    same Arrow-batched mapInPandas shape as the decoders."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    return src.mapInPandas(
+        _png_synth_batches, schema="media_id long, blob binary"
+    )
+
+
+def _png_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {f.name: [] for f in PNG_DECODE_SCHEMA.fields}
+        for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+            parsed = parse_png(bytes(blob))
+            out["media_id"].append(int(mid))
+            if parsed is None:
+                for k in out:
+                    if k not in ("media_id", "is_valid"):
+                        out[k].append(None)
+                out["is_valid"].append(0)
+                continue
+            w, h, ch, rows = parsed
+            sums = [0, 0, 0, 0]
+            for row in rows:
+                for i, v in enumerate(row):
+                    sums[i % ch] += v
+            n = w * h
+            out["width"].append(w)
+            out["height"].append(h)
+            out["channels"].append(ch)
+            out["mean_r_milli"].append(sums[0] * 1000 // n)
+            out["mean_g_milli"].append(sums[1] * 1000 // n)
+            out["mean_b_milli"].append(sums[2] * 1000 // n)
+            out["mean_a_milli"].append(sums[3] * 1000 // n if ch == 4 else None)
+            out["tl_r"].append(rows[0][0])
+            out["tl_g"].append(rows[0][1])
+            out["tl_b"].append(rows[0][2])
+            out["tl_a"].append(rows[0][3] if ch == 4 else None)
+            out["is_valid"].append(1)
+        yield pd.DataFrame(out)
+
+
+def decode_png(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """REAL pixel decode for 8-bit RGB/RGBA PNG blobs (Arrow-batched
+    mapInPandas): chunk walk + CRC check + zlib inflate + unfilter, then
+    per-channel means and the top-left pixel (PNG rows are top-down —
+    the opposite of BMP, which the tl_* columns pin)."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
+    )
+    return src.mapInPandas(_png_decode_batches, schema=PNG_DECODE_SCHEMA)

@@ -1,0 +1,94 @@
+"""Spark-side PDF text extraction: the driver-checkable round trip.
+
+The from-scratch PDF parser (pdf_extraction_spark.pdf_parse) is the
+engine's analogue of the reference's text-layer path
+(`pdfplumber.open(...)` + `page.extract_text()`,
+/root/reference/pdfextraction.py:33-35; PyPDF2 `page.extract_text()`,
+/root/reference/app.py:46-52).  This module wires it into a
+driver-oracle-checkable DataFrame operator: each document's text is
+split into two pages, serialized into REAL ``%PDF-`` bytes by
+``build_pdf`` (xref table, FlateDecode streams, Tj/TJ/'/hex show ops),
+and the parser must recover the page texts from the BYTES alone.  The
+DuckDB oracle never parses PDF — it states the analytic identity
+(``extracted_text == text``, ``page1_chars == len(text) // 2``), so any
+builder or parser defect (stream length, escape handling, xref offsets,
+text-operator line logic, UTF-8 reassembly across TJ show strings)
+breaks the value hash.
+
+Variant coverage inside the one entry, keyed off doc_id so the driver
+run exercises every parser path:
+
+* ``doc_id % 3 == 0``  -> raw (uncompressed) content streams;
+* ``doc_id % 5 == 0``  -> ``/Length`` stored as a forward indirect ref;
+* ``doc_id % 7 == 3``  -> the startxref pointer is vandalized, forcing
+  the damaged-xref scan-recovery path (real-crawl wrinkle).
+
+Scale shape: one Arrow-batched ``mapInPandas`` pass, no shuffle, no
+driver collection — identical to the production extraction kernel's
+batch shape, so the plan is a single scan -> Python stage -> project.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.pdf_parse import build_pdf, extract_pdf_pages
+
+PDF_ROUNDTRIP_SCHEMA = (
+    "doc_id long, n_pages int, page1_chars int, n_chars int, "
+    "extracted_text string"
+)
+
+_STARTXREF_RE = re.compile(rb"startxref\s+\d+")
+
+
+def _vandalize_startxref(pdf: bytes) -> bytes:
+    """Point startxref at byte 0 (the %PDF header), so the xref load
+    fails and the parser must fall back to scanning for ``N G obj``."""
+    return _STARTXREF_RE.sub(b"startxref\n0", pdf)
+
+
+def _roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf_batch in batches:
+        out = {
+            "doc_id": [],
+            "n_pages": [],
+            "page1_chars": [],
+            "n_chars": [],
+            "extracted_text": [],
+        }
+        for doc_id, text in zip(pdf_batch["doc_id"], pdf_batch["text"]):
+            doc_id = int(doc_id)
+            t = text if isinstance(text, str) else ""
+            half = len(t) // 2
+            blob = build_pdf(
+                [t[:half], t[half:]],
+                compress=doc_id % 3 != 0,
+                indirect_length=doc_id % 5 == 0,
+            )
+            if doc_id % 7 == 3:
+                blob = _vandalize_startxref(blob)
+            pages = extract_pdf_pages(blob)
+            out["doc_id"].append(doc_id)
+            out["n_pages"].append(len(pages))
+            out["page1_chars"].append(len(pages[0]))
+            out["n_chars"].append(sum(len(p) for p in pages))
+            out["extracted_text"].append("".join(pages))
+        yield pd.DataFrame(out)
+
+
+def extract_pdf_roundtrip(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """text -> real %PDF bytes -> from-scratch parser -> text, one
+    Arrow-batched mapInPandas pass.  Output equals the input text iff
+    builder and parser are both correct; the driver oracle asserts
+    exactly that identity."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).cast("string").alias("text"),
+    )
+    return src.mapInPandas(_roundtrip_batches, schema=PDF_ROUNDTRIP_SCHEMA)

@@ -85,7 +85,15 @@ def oracle_document(url, html_bytes, text):
     from pdf_extraction_spark.html_extract import extract_main_text_spec
     from pdf_extraction_spark.kernel import label_spans  # our spec, shared
 
-    if html_bytes is not None:
+    if html_bytes is not None and bytes(html_bytes[:5]) == b"%PDF-":
+        # PDF rows: the pipeline must recover the page texts from the PDF
+        # BYTES alone; the oracle uses the fixture's golden text layer
+        # (never the parser), so equality cross-checks the parser itself
+        doc_kind = "pdf"
+        pages = (text or "").split(PAGE_SEP)
+        extracted_text, fields = oracle_direct(pages)
+        page_fields = oracle_ocr(pages)
+    elif html_bytes is not None:
         doc_kind = "html"
         extracted_text = extract_main_text_spec(bytes(html_bytes))
         # direct extraction applied to the stripped text itself (no F4

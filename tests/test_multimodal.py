@@ -211,3 +211,74 @@ def test_wav_decode_real_semantics(spark):
     )
     rows = decode_wav(bad, "doc_id", "blob").collect()
     assert all(r["is_valid"] == 0 for r in rows)
+
+
+def test_png_roundtrip_all_variants():
+    """Encoder->decoder identity for RGB and RGBA, every scanline filter
+    type (h >= 5 ids exercise all five), CRC-checked chunk walk."""
+    from pdf_extraction_spark.operators.multimodal import (
+        _png_row_bytes,
+        parse_png,
+        synth_png_bytes,
+    )
+
+    for mid in range(24):
+        w, h, ch = mid % 5 + 4, mid % 4 + 4, 3 + mid % 2
+        parsed = parse_png(synth_png_bytes(mid))
+        assert parsed is not None
+        pw, ph, pch, rows = parsed
+        assert (pw, ph, pch) == (w, h, ch)
+        for j, row in enumerate(rows):
+            assert row == _png_row_bytes(mid, j, w * ch), (mid, j)
+
+
+def test_png_rejects_corruption():
+    """A flipped pixel byte breaks that chunk's CRC -> None (not garbage
+    pixels); truncation and wrong signature are also rejected."""
+    from pdf_extraction_spark.operators.multimodal import parse_png, synth_png_bytes
+
+    png = synth_png_bytes(7)
+    assert parse_png(png) is not None
+    # flip one byte inside the first IDAT body
+    idat = png.index(b"IDAT")
+    corrupt = bytearray(png)
+    corrupt[idat + 8] ^= 0xFF
+    assert parse_png(bytes(corrupt)) is None
+    assert parse_png(png[:40]) is None
+    assert parse_png(b"\x89PNJ" + png[4:]) is None
+    assert parse_png(b"") is None
+
+
+def test_png_decode_spark_matches_python(spark):
+    """decode_png over synth_png blobs reproduces the raw md5 pixel
+    formula's channel means, and tl_* prove top-down row order."""
+    from pdf_extraction_spark.operators.multimodal import (
+        _png_row_bytes,
+        decode_png,
+        synth_png,
+    )
+
+    ids = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    out = {
+        r["media_id"]: r
+        for r in decode_png(synth_png(ids, "doc_id"), "media_id", "blob").collect()
+    }
+    assert len(out) == 12
+    for mid in range(12):
+        w, h, ch = mid % 5 + 4, mid % 4 + 4, 3 + mid % 2
+        rows = [_png_row_bytes(mid, j, w * ch) for j in range(h)]
+        sums = [0, 0, 0, 0]
+        for row in rows:
+            for i, v in enumerate(row):
+                sums[i % ch] += v
+        r = out[mid]
+        assert r["is_valid"] == 1
+        assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
+        assert r["mean_r_milli"] == sums[0] * 1000 // (w * h)
+        assert r["mean_b_milli"] == sums[2] * 1000 // (w * h)
+        assert r["tl_r"] == rows[0][0]
+        if ch == 4:
+            assert r["mean_a_milli"] == sums[3] * 1000 // (w * h)
+            assert r["tl_a"] == rows[0][3]
+        else:
+            assert r["mean_a_milli"] is None and r["tl_a"] is None
