@@ -11,11 +11,12 @@ Layout facts the parser honors:
     full HTTP response — the html bytes start after the HTTP header's
     own CRLFCRLF.
 
-Scale shape: .warc.gz files map one-file-one-task (``binaryFile`` rows
-are not splittable and neither is a bare multi-member gzip without an
-index; CC ships ~1 GB files and fleet parallelism comes from file count —
-a crawl segment has thousands).  A large UNCOMPRESSED ``.warc`` however
-is split into ``split_bytes`` byte ranges, Hadoop-style: each task seeks
+Scale shape: BOTH layouts are splittable without an index.  Real CC
+``.warc.gz`` files are member-per-record gzip, so a large one splits on
+verified gzip-member boundaries (magic + full-member inflate + WARC
+prefix + chain check — see _iter_warc_gz_records_range); a large
+UNCOMPRESSED ``.warc`` is split into ``split_bytes`` byte ranges,
+Hadoop-style: each task seeks
 to its range, scans forward to the first valid record boundary
 (``\\r\\n\\r\\n`` + ``WARC/1.`` magic + a parseable header block — the
 magic alone can appear inside an archived payload), and parses every
@@ -302,6 +303,127 @@ def _iter_warc_records_range(f, start: int, end: int, read_chunk: int = 1 << 22)
             return
 
 
+# --- member-aligned byte-range splitting of .warc.gz files ------------------
+#
+# Real Common Crawl WARCs are MEMBER-PER-RECORD gzip: each record is its
+# own gzip member, so the archive is splittable without an index by
+# scanning for the gzip magic at candidate offsets and verifying
+# structurally — the same anti-decoy discipline as the uncompressed path,
+# but stronger, because gzip members are self-delimiting (CRC32 + ISIZE
+# trailer): a candidate is a boundary iff one whole member inflates from
+# it, its content starts with the WARC magic, AND the member ends exactly
+# at EOF or at another gzip magic (chain check).
+
+_GZ_MAGIC = b"\x1f\x8b\x08"
+
+
+def _inflate_member_at(f, offset: int, read_chunk: int):
+    """Inflate exactly ONE gzip member starting at ``offset``.
+
+    Returns (content, next_offset) or None if no valid member starts
+    there (bad header, corrupt deflate stream, CRC/length mismatch, or
+    truncation).  Reads lazily in ``read_chunk`` increments; memory is
+    bounded by one member's content + one chunk.  Leaves the file
+    position unspecified — callers seek."""
+    import zlib
+
+    d = zlib.decompressobj(31)  # 31 = gzip wrapper
+    f.seek(offset)
+    out = bytearray()
+    consumed = 0
+    while True:
+        chunk = f.read(read_chunk)
+        if not chunk:
+            return None  # EOF mid-member: truncated
+        try:
+            out += d.decompress(chunk)
+        except zlib.error:
+            return None
+        if d.eof:
+            consumed += len(chunk) - len(d.unused_data)
+            return bytes(out), offset + consumed
+        consumed += len(chunk)
+
+
+def _iter_warc_gz_records_range(f, start: int, end: int, read_chunk: int = 1 << 22):
+    """Yield (headers, payload) for every record in gzip members STARTING
+    in [start, end) of a member-per-record .warc.gz.
+
+    Hadoop-split semantics mirror _iter_warc_records_range: a member
+    straddling ``start`` belongs to the previous split; the tail member
+    is read past ``end``.  Alignment scans [start, end) for the gzip
+    magic and accepts a candidate only if (a) one complete member
+    inflates from it, (b) the inflated content begins with ``WARC/``,
+    and (c) the member is chained — followed by EOF or another gzip
+    magic.  A verbatim decoy member embedded inside a stored-block outer
+    payload fails (c) unless it is the exact suffix of its enclosing
+    member — the same residual ambiguity (and the same odds) as the
+    uncompressed path, resolvable only with an offset index."""
+    f.seek(0, 2)
+    file_size = f.tell()
+    if start >= file_size:
+        return
+
+    def _member_chained(p):
+        res = _inflate_member_at(f, p, read_chunk)
+        if res is None:
+            return None
+        content, nxt = res
+        if not content.startswith(b"WARC/"):
+            return None
+        if nxt != file_size:
+            f.seek(nxt)
+            if f.read(3) != _GZ_MAGIC:
+                return None
+        return res
+
+    # ---- align to the first verified member boundary >= start ----
+    aligned = None
+    if start == 0:
+        aligned = 0
+    else:
+        scan_base = start
+        window = b""
+        search = 0
+        while aligned is None:
+            if search + len(_GZ_MAGIC) > len(window):
+                if scan_base + len(window) >= end + len(_GZ_MAGIC) - 1:
+                    return  # every later candidate starts past end
+                f.seek(scan_base + len(window))
+                more = f.read(read_chunk)
+                if not more:
+                    return
+                # drop the searched prefix, keep a possibly-straddling tail
+                keep = len(_GZ_MAGIC) - 1
+                if len(window) > keep:
+                    cut = len(window) - keep
+                    window = window[cut:]
+                    scan_base += cut
+                    search = max(0, search - cut)
+                window += more
+                continue
+            p = window.find(_GZ_MAGIC, search)
+            if p < 0:
+                search = len(window)
+                continue
+            if scan_base + p >= end:
+                return  # next member belongs to the following split
+            if _member_chained(scan_base + p) is not None:
+                aligned = scan_base + p
+            else:
+                search = p + 1
+    # ---- sequential member walk from the aligned boundary ----
+    off = aligned
+    while off < end and off < file_size:
+        res = _inflate_member_at(f, off, read_chunk)
+        if res is None:
+            return  # truncated/corrupt tail member: stop, don't guess
+        content, nxt = res
+        for headers, payload in _iter_warc_records(content):
+            yield headers, payload
+        off = nxt
+
+
 def _warc_split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Row-driven WARC reader: each input row is (path, start, end).
 
@@ -326,17 +448,14 @@ def _warc_split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     _append_record(out, headers, payload, path)
             else:
                 with _open_binary(path) as f:
-                    for headers, payload in _iter_warc_records_range(
-                        f, start, end
-                    ):
+                    if f.read(len(_GZ_MAGIC)) == _GZ_MAGIC:
+                        it = _iter_warc_gz_records_range(f, start, end)
+                    else:
+                        it = _iter_warc_records_range(f, start, end)
+                    for headers, payload in it:
                         _append_record(out, headers, payload, path)
         if out["url"]:  # an all-empty frame would lose the ts dtype
             yield pd.DataFrame(out)
-
-
-def _is_gzip(path: str) -> bool:
-    with _open_binary(path) as f:
-        return f.read(2) == b"\x1f\x8b"
 
 
 def read_pages_warc(
@@ -361,7 +480,13 @@ def read_pages_warc(
     task_rows: list[tuple[str, int, int]] = []
     for r in meta:
         p, ln = r["path"], int(r["length"])
-        if ln > split_bytes and not p.endswith(".gz") and not _is_gzip(p):
+        if ln > split_bytes:
+            # both layouts split: uncompressed .warc on verified record
+            # boundaries, .warc.gz on verified gzip-member boundaries
+            # (CC-style member-per-record archives; a single-member .gz
+            # degrades gracefully — the split containing offset 0 reads
+            # the whole member, the others find no boundary and emit
+            # nothing, so results match the whole-file read)
             for s in range(0, ln, split_bytes):
                 task_rows.append((p, s, min(s + split_bytes, ln)))
         else:

@@ -367,3 +367,138 @@ def test_warc_truncated_tail_consistent_between_whole_and_split():
             ):
                 got.append(h["warc-target-uri"])
         assert sorted(got) == sorted(whole), split_bytes
+
+
+def test_warc_gz_member_split_matches_whole_file(spark, tmp_path):
+    """Member-per-record .warc.gz (real Common Crawl layout) read as
+    byte-range splits must equal the whole-file read — members are found
+    by gzip-magic scan + full-member inflate + WARC-prefix + chain
+    verification, never an index."""
+    import datetime as dt
+    import os
+    import random
+
+    from pdf_extraction_spark.sources.warc import (
+        read_pages_warc,
+        write_pages_warc,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (
+            f"http://gz.example/{i}",
+            dt.datetime(2026, 3, 1, 0, 0, i % 60),
+            (
+                f"<html><body><p>doc {i} "
+                + "w" * rng.randrange(100, 900)
+                + "</p></body></html>"
+            ).encode(),
+        )
+        for i in range(150)
+    ]
+    path = str(tmp_path / "big.warc.gz")
+    write_pages_warc(rows, path, compress=True)  # one gzip member per record
+    assert os.path.getsize(path) // 2048 > 6  # the small split size bites
+
+    whole = read_pages_warc(spark, path, split_bytes=1 << 30)
+    split = read_pages_warc(spark, path, split_bytes=2048)
+    a = {r["url"]: (bytes(r["html"]), r["warc_ts"]) for r in whole.collect()}
+    b = {r["url"]: (bytes(r["html"]), r["warc_ts"]) for r in split.collect()}
+    assert len(a) == 150
+    assert a == b
+
+
+def test_warc_gz_range_iterator_boundary_sweep():
+    """Pure-Python sweep over many split sizes for the gz-member path:
+    boundaries landing mid-magic, mid-member, and between members must
+    never lose or duplicate a record."""
+    import datetime as dt
+    import gzip
+    import io
+    import os
+    import tempfile
+
+    from pdf_extraction_spark.sources.warc import (
+        _iter_warc_gz_records_range,
+        write_pages_warc,
+    )
+
+    rows = [
+        (
+            f"http://gzs.example/{i}",
+            dt.datetime(2026, 4, 1, 0, 0, i % 60),
+            (f"<p>rec {i} " + "q" * (13 * i % 301) + "</p>").encode(),
+        )
+        for i in range(40)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "sweep.warc.gz")
+        write_pages_warc(rows, path, compress=True)
+        raw = open(path, "rb").read()
+    size = len(raw)
+
+    def parse_ranges(split_bytes):
+        got = []
+        for s in range(0, size, split_bytes):
+            for headers, payload in _iter_warc_gz_records_range(
+                io.BytesIO(raw), s, min(s + split_bytes, size), read_chunk=256
+            ):
+                got.append((headers["warc-target-uri"], payload))
+        return got
+
+    whole = parse_ranges(size)
+    assert len(whole) == 40
+    for split_bytes in range(128, 1200, 31):
+        got = parse_ranges(split_bytes)
+        assert sorted(got) == sorted(whole), split_bytes
+
+
+def test_warc_gz_split_rejects_embedded_decoy_member(spark, tmp_path):
+    """A VERBATIM gzip member of a valid WARC record embedded inside
+    another record's payload (outer member stored with compresslevel=0,
+    so the decoy bytes appear literally in the file) must not
+    desynchronize any split: the decoy fails the chain check (the bytes
+    after it are mid-stream garbage, not a member boundary or EOF)."""
+    import datetime as dt
+    import gzip
+
+    from pdf_extraction_spark.sources.warc import read_pages_warc
+
+    def member(url, body, level=6):
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        head = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            "WARC-Date: 2026-05-01T00:00:00Z\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return gzip.compress(head + http + b"\r\n\r\n", level)
+
+    decoy = member("http://decoy.example/phantom", b"<p>phantom</p>")
+    rows = []
+    for i in range(60):
+        body = (f"<p>real {i} " + "m" * (19 * i % 257) + "</p>").encode()
+        if i == 25:
+            # decoy mid-payload; stored (level 0) so its bytes are verbatim
+            body = b"<p>carrier " + decoy + b" tail tail tail</p>"
+            rows.append(member(f"http://gzd.example/{i}", body, level=0))
+        else:
+            rows.append(member(f"http://gzd.example/{i}", body))
+    path = str(tmp_path / "decoy.warc.gz")
+    with open(path, "wb") as f:
+        f.write(b"".join(rows))
+
+    whole = {r["url"] for r in read_pages_warc(spark, path, split_bytes=1 << 30).collect()}
+    split_df = read_pages_warc(spark, path, split_bytes=1024)
+    split_rows = split_df.collect()
+    split = {r["url"] for r in split_rows}
+    assert len(split_rows) == 60  # no phantom duplicate rows either
+    assert "http://decoy.example/phantom" not in split
+    assert split == whole
+    carrier = next(
+        bytes(r["html"]) for r in split_rows if r["url"].endswith("/25")
+    )
+    assert decoy in carrier  # payload byte-identical, decoy intact inside
