@@ -57,6 +57,8 @@ HEADLINE = [
     "multimodal_frame_sample",
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
+    "multimodal_png_decode",
+    "extract_pdf_text",
     "pricing_summary",
     "top_customers",
     "window_top_events",
