@@ -2,7 +2,12 @@
 its oracle_sql() twin in DuckDB on the same sf dir; compare row count,
 column names, and order-insensitive values.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--all] [sf_dir] [query ...]
+
+--all checks the FULL registry (all_queries/all_oracles, 59 entries)
+instead of the 50-entry driver-facing queries() surface — the 9 entries
+past the driver snapshot cap stay value-checked even though the driver
+never snapshots them.
 """
 
 from __future__ import annotations
@@ -57,8 +62,10 @@ def _normalize(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--all"]
+    full = "--all" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from pdf_extraction_spark.session import get_spark
@@ -70,8 +77,8 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = entrymod.all_queries() if full else entrymod.queries()
+    oracles = entrymod.all_oracles() if full else entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
