@@ -21,7 +21,12 @@ run exercises every parser path:
 * ``doc_id % 3 == 0``  -> raw (uncompressed) content streams;
 * ``doc_id % 5 == 0``  -> ``/Length`` stored as a forward indirect ref;
 * ``doc_id % 7 == 3``  -> the startxref pointer is vandalized, forcing
-  the damaged-xref scan-recovery path (real-crawl wrinkle).
+  the damaged-xref scan-recovery path (real-crawl wrinkle);
+* ``doc_id % 2 == 1``  -> PDF-1.5 cross-reference STREAM instead of the
+  classic table; ``% 4 == 1`` additionally packs the non-stream objects
+  into an ``/ObjStm`` (type-2 entries); ``% 8 == 1`` adds the PNG Up
+  ``/Predictor`` on the xref rows — so odd vandalized ids (e.g. 17)
+  drive scan recovery THROUGH an object stream.
 
 Scale shape: one Arrow-batched ``mapInPandas`` pass, no shuffle, no
 driver collection — identical to the production extraction kernel's
@@ -70,6 +75,13 @@ def _roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 [t[:half], t[half:]],
                 compress=doc_id % 3 != 0,
                 indirect_length=doc_id % 5 == 0,
+                # PDF-1.5 layouts (odd ids): cross-reference stream,
+                # with objects packed into an /ObjStm every 4th id and
+                # the PNG Up predictor on the xref rows every 8th —
+                # the layouts modern writers actually emit
+                xref_stream=doc_id % 2 == 1,
+                use_objstm=doc_id % 4 == 1,
+                predictor=doc_id % 8 == 1,
             )
             if doc_id % 7 == 3:
                 blob = _vandalize_startxref(blob)

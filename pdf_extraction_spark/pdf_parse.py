@@ -10,9 +10,14 @@ text operators — with zero third-party dependencies.
 Subset contract (what :func:`extract_pdf_pages` supports, and what
 :func:`build_pdf` emits):
 
-* classic cross-reference TABLES (``xref`` … ``trailer``), not PDF-1.5
-  xref streams; a scan-the-file fallback recovers object offsets when the
-  xref is damaged (a real-crawl wrinkle: truncated tails, appended junk);
+* classic cross-reference TABLES (``xref`` … ``trailer``) AND PDF-1.5
+  cross-reference STREAMS (``/Type /XRef`` — binary ``/W``-packed rows,
+  optional PNG ``/Predictor`` on the row data, ``/Prev`` chains across
+  incremental updates, mixed table/stream chains); objects packed into
+  object streams (``/Type /ObjStm``) resolve through type-2 entries; a
+  scan-the-file fallback recovers object offsets when the xref is
+  damaged (a real-crawl wrinkle: truncated tails, appended junk) and
+  expands any object streams it finds;
 * object syntax in full: dictionaries, arrays, names (with ``#xx``
   escapes), literal strings (nested parens, ``\\ddd`` octal and named
   escapes, line continuations), hex strings, references, booleans/null,
@@ -39,6 +44,7 @@ row-at-a-time Spark UDFs); nothing here touches Spark.
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 
 # ---------------------------------------------------------------------------
@@ -101,6 +107,9 @@ def build_pdf(
     *,
     compress: bool = True,
     indirect_length: bool = False,
+    xref_stream: bool = False,
+    use_objstm: bool = False,
+    predictor: bool = False,
 ) -> bytes:
     """Emit a complete, spec-shaped PDF whose N pages show the given
     texts.  Each page text is split on ``\\n`` into shown lines (other
@@ -112,7 +121,20 @@ def build_pdf(
     * ``indirect_length``: store each stream's ``/Length`` as a forward
       reference to a separate integer object (a wrinkle real writers
       emit that naive parsers trip over).
+    * ``xref_stream``: emit a PDF-1.5 cross-reference STREAM
+      (``/Type /XRef``, binary ``/W [1 4 2]`` rows, FlateDecode) instead
+      of the classic table — what every modern writer produces.
+    * ``use_objstm``: pack the non-stream objects (catalog, page tree,
+      font, page dicts, Length ints) into one object stream
+      (``/Type /ObjStm``), referenced by type-2 xref entries; requires
+      ``xref_stream``.
+    * ``predictor``: apply the PNG Up predictor (``/DecodeParms
+      << /Predictor 12 /Columns 7 >>``) to the xref stream rows before
+      deflate — the layout Acrobat and most writers actually emit;
+      requires ``xref_stream``.
     """
+    if (use_objstm or predictor) and not xref_stream:
+        raise ValueError("use_objstm/predictor require xref_stream")
     if not pages:
         pages = [""]
     n = len(pages)
@@ -151,8 +173,30 @@ def build_pdf(
         objects[cid] = b"<< /Length " + length + filt + b" >>"
         streams[cid] = data
 
+    # pack non-stream objects into one /ObjStm (type-2 xref entries)
+    in_objstm: dict[int, int] = {}  # object num -> index within the ObjStm
+    objstm_id = 0
+    if use_objstm:
+        objstm_id = max(objects) + 1
+        packed = sorted(num for num in objects if num not in streams)
+        header = bytearray()
+        body = bytearray()
+        for idx, num in enumerate(packed):
+            header += f"{num} {len(body)} ".encode("ascii")
+            body += objects.pop(num) + b"\n"
+            in_objstm[num] = idx
+        payload = bytes(header) + body
+        data = zlib.compress(payload, 9)
+        objects[objstm_id] = (
+            f"<< /Type /ObjStm /N {len(packed)} /First {len(header)}"
+            f" /Length {len(data)} /Filter /FlateDecode >>"
+        ).encode("ascii")
+        streams[objstm_id] = data
+
     out = bytearray()
-    out += b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"  # binary-marker comment line
+    out += b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n" if xref_stream else (
+        b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"
+    )  # binary-marker comment line
     offsets: dict[int, int] = {}
     for num in sorted(objects):
         offsets[num] = len(out)
@@ -161,16 +205,60 @@ def build_pdf(
         if num in streams:
             out += b"\nstream\n" + streams[num] + b"\nendstream"
         out += b"\nendobj\n"
+
+    if not xref_stream:
+        xref_at = len(out)
+        count = max(objects) + 1
+        out += f"xref\n0 {count}\n".encode("ascii")
+        out += b"0000000000 65535 f \n"
+        for num in range(1, count):
+            out += f"{offsets[num]:010d} 00000 n \n".encode("ascii")
+        out += (
+            f"trailer\n<< /Size {count} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n"
+        ).encode("ascii")
+        return bytes(out)
+
+    # PDF-1.5 cross-reference stream: /W [1 4 2] big-endian rows
+    xref_id = max(max(objects), objstm_id) + 1
     xref_at = len(out)
-    count = max(objects) + 1
-    out += f"xref\n0 {count}\n".encode("ascii")
-    out += b"0000000000 65535 f \n"
-    for num in range(1, count):
-        out += f"{offsets[num]:010d} 00000 n \n".encode("ascii")
+    offsets[xref_id] = xref_at
+    count = xref_id + 1
+    rows = bytearray()
+    for num in range(count):
+        if num == 0:
+            rows += struct.pack(">BIH", 0, 0, 65535)  # free-list head
+        elif num in in_objstm:
+            rows += struct.pack(">BIH", 2, objstm_id, in_objstm[num])
+        else:
+            rows += struct.pack(">BIH", 1, offsets[num], 0)
+    parms = b""
+    if predictor:
+        # PNG Up filter per 7-byte row (what real writers emit)
+        filtered = bytearray()
+        prev = bytes(7)
+        for i in range(0, len(rows), 7):
+            row = bytes(rows[i : i + 7])
+            filtered.append(2)  # Up
+            filtered += bytes((row[j] - prev[j]) & 0xFF for j in range(7))
+            prev = row
+        rows = filtered
+        parms = b" /DecodeParms << /Predictor 12 /Columns 7 >>"
+    data = zlib.compress(bytes(rows), 9)
+    out += f"{xref_id} 0 obj\n".encode("ascii")
     out += (
-        f"trailer\n<< /Size {count} /Root 1 0 R >>\n"
-        f"startxref\n{xref_at}\n%%EOF\n"
-    ).encode("ascii")
+        f"<< /Type /XRef /Size {count} /W [ 1 4 2 ] /Root 1 0 R"
+        f" /Filter /FlateDecode /Length {len(data)} >>".encode("ascii")
+        if not parms
+        else (
+            f"<< /Type /XRef /Size {count} /W [ 1 4 2 ] /Root 1 0 R"
+            f" /Filter /FlateDecode".encode("ascii")
+            + parms
+            + f" /Length {len(data)} >>".encode("ascii")
+        )
+    )
+    out += b"\nstream\n" + data + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode("ascii")
     return bytes(out)
 
 
@@ -389,14 +477,172 @@ class _Lexer:
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
+def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
+    """Undo PNG row predictors (``/Predictor`` >= 10): every row is a
+    filter byte (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth) followed
+    by ``columns * colors * bpc/8`` bytes, filtered against the row
+    above.  Xref streams use Colors=1 BitsPerComponent=8, but the
+    general form costs nothing."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytes(rowlen)
+    pos = 0
+    while pos < len(data):
+        ftype = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + rowlen])
+        if len(row) < rowlen:
+            raise ValueError("pdf parse: truncated predictor row")
+        pos += 1 + rowlen
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"pdf parse: unknown PNG filter {ftype}")
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+def _decode_stream(raw: bytes, filt, parms, resolve=lambda v: v) -> bytes:
+    """Apply a stream's filter chain (FlateDecode only — anything else
+    raises, contained per document by the kernel's F18 guard) plus any
+    PNG ``/Predictor`` in the matching DecodeParms entry."""
+    filt = resolve(filt)
+    filters = [] if filt is None else (filt if isinstance(filt, list) else [filt])
+    parms = resolve(parms)
+    parm_list = (
+        [] if parms is None else (parms if isinstance(parms, list) else [parms])
+    )
+    for i, f in enumerate(filters):
+        f = resolve(f)
+        if str(f) != "FlateDecode":
+            raise ValueError(f"pdf parse: unsupported filter {f!r}")
+        raw = zlib.decompress(raw)
+        p = resolve(parm_list[i]) if i < len(parm_list) else None
+        if isinstance(p, dict):
+            pred = int(resolve(p.get("Predictor", 1)) or 1)
+            if pred >= 10:
+                raw = _png_unpredict(
+                    raw,
+                    int(resolve(p.get("Columns", 1)) or 1),
+                    int(resolve(p.get("Colors", 1)) or 1),
+                    int(resolve(p.get("BitsPerComponent", 8)) or 8),
+                )
+            elif pred != 1:
+                raise ValueError(f"pdf parse: unsupported predictor {pred}")
+    return raw
+
+
 class _Document:
     def __init__(self, data: bytes):
         self.data = data
-        self.offsets = self._load_xref()
         self._cache: dict[int, object] = {}
         self._streams: dict[int, bytes] = {}
+        self.in_objstm: dict[int, tuple[int, int]] = {}
+        self.offsets = self._load_xref()
 
     # -- xref ---------------------------------------------------------------
+
+    def _parse_xref_table(self, pos: int):
+        """Classic ``xref`` table section -> (offsets, trailer dict)."""
+        data = self.data
+        lex = _Lexer(data, pos)
+        lex.expect("xref")
+        offsets: dict[int, int] = {}
+        while True:
+            lex.skip_ws()
+            if data.startswith(b"trailer", lex.pos):
+                lex.expect("trailer")
+                trailer = lex.object()
+                if not isinstance(trailer, dict):
+                    raise ValueError("bad trailer")
+                return offsets, trailer
+            first, _ = lex._number()
+            count, _ = lex._number()
+            for i in range(count):
+                lex.skip_ws()
+                entry = data[lex.pos : lex.pos + 18]
+                off, _gen, kind = entry.split()[:3]
+                if kind == b"n":
+                    offsets.setdefault(first + i, int(off))
+                lex.pos += 18
+
+    def _parse_xref_stream(self, pos: int):
+        """PDF-1.5 cross-reference STREAM section at ``pos`` ->
+        (offsets, in_objstm, trailer dict).  Rows are ``/W``-packed
+        big-endian fields (a zero width defaults the field: type->1);
+        ``/Index`` pairs scope subsections; the stream dict doubles as
+        the trailer (``/Root``, ``/Prev``)."""
+        lex = _Lexer(self.data, pos)
+        num, _ = lex._number()
+        lex._number()  # generation
+        lex.expect("obj")
+        d = lex.object()
+        if not (isinstance(d, dict) and d.get("Type") == "XRef"):
+            raise ValueError("pdf parse: not an xref stream")
+        lex.skip_ws()
+        if not self.data.startswith(b"stream", lex.pos):
+            raise ValueError("pdf parse: xref stream has no stream")
+        lex.pos += len(b"stream")
+        if self.data.startswith(b"\r\n", lex.pos):
+            lex.pos += 2
+        elif self.data.startswith(b"\n", lex.pos):
+            lex.pos += 1
+        length = d.get("Length")
+        if isinstance(length, _Ref):
+            raise ValueError("pdf parse: xref stream /Length must be direct")
+        raw = self.data[lex.pos : lex.pos + int(length)]
+        raw = _decode_stream(raw, d.get("Filter"), d.get("DecodeParms"))
+        widths = [int(w) for w in d.get("W", [])]
+        if not widths or len(widths) > 8:
+            raise ValueError("pdf parse: bad /W in xref stream")
+        rowlen = sum(widths)
+        size = int(d.get("Size", 0))
+        index = d.get("Index") or [0, size]
+        offsets: dict[int, int] = {}
+        in_objstm: dict[int, tuple[int, int]] = {}
+        p = 0
+        for s in range(0, len(index) - 1, 2):
+            first, count = int(index[s]), int(index[s + 1])
+            for i in range(count):
+                row = raw[p : p + rowlen]
+                if len(row) < rowlen:
+                    raise ValueError("pdf parse: truncated xref stream")
+                p += rowlen
+                fields = []
+                q = 0
+                for w in widths:
+                    fields.append(
+                        int.from_bytes(row[q : q + w], "big") if w else None
+                    )
+                    q += w
+                ftype = fields[0] if fields[0] is not None else 1
+                objnum = first + i
+                if ftype == 1 and fields[1] is not None:
+                    offsets.setdefault(objnum, fields[1])
+                elif ftype == 2 and fields[1] is not None:
+                    in_objstm.setdefault(objnum, (fields[1], fields[2] or 0))
+                # type 0 = free: skip
+        return offsets, in_objstm, d
 
     def _load_xref(self) -> dict[int, int]:
         data = self.data
@@ -405,33 +651,43 @@ class _Document:
             m = re.search(rb"startxref\s+(\d+)", tail)
             if not m:
                 raise ValueError("no startxref")
-            lex = _Lexer(data, int(m.group(1)))
-            lex.expect("xref")
             offsets: dict[int, int] = {}
-            while True:
-                lex.skip_ws()
-                if data.startswith(b"trailer", lex.pos):
-                    lex.expect("trailer")
-                    self.trailer = lex.object()
-                    if not isinstance(self.trailer, dict):
-                        raise ValueError("bad trailer")
-                    return offsets
-                first, _ = lex._number()
-                count, _ = lex._number()
-                for i in range(count):
-                    lex.skip_ws()
-                    entry = data[lex.pos : lex.pos + 18]
-                    off, _gen, kind = entry.split()[:3]
-                    if kind == b"n":
-                        offsets.setdefault(first + i, int(off))
-                    lex.pos += 18
+            self.trailer: dict = {}
+            pos = int(m.group(1))
+            seen: set[int] = set()
+            while pos is not None and pos not in seen and 0 <= pos < len(data):
+                seen.add(pos)
+                probe = _Lexer(data, pos)
+                probe.skip_ws()
+                if data.startswith(b"xref", probe.pos):
+                    sec_off, tdict = self._parse_xref_table(probe.pos)
+                    sec_stm: dict[int, tuple[int, int]] = {}
+                else:
+                    sec_off, sec_stm, tdict = self._parse_xref_stream(probe.pos)
+                # newest section wins: earlier setdefault shadows /Prev
+                for k, v in sec_off.items():
+                    if k not in self.in_objstm:
+                        offsets.setdefault(k, v)
+                for k, v in sec_stm.items():
+                    if k not in offsets:
+                        self.in_objstm.setdefault(k, v)
+                if not self.trailer:
+                    self.trailer = tdict
+                prev = tdict.get("Prev")
+                pos = int(prev) if isinstance(prev, (int, float)) else None
+            if not isinstance(self.trailer, dict) or not self.trailer.get("Root"):
+                raise ValueError("no Root in trailer")
+            return offsets
         except Exception:
             # damaged/absent xref: recover by scanning for "N G obj" —
             # last occurrence of an object number wins (incremental
             # updates append redefinitions)
+            self.in_objstm = {}
             offsets = {}
             for m in _OBJ_RE.finditer(data):
                 offsets[int(m.group(1))] = m.start()
+            # make get()/resolve() usable during recovery
+            self.offsets = offsets
             t = data.rfind(b"trailer")
             self.trailer = {}
             if t >= 0:
@@ -443,10 +699,30 @@ class _Document:
                         self.trailer = obj
                 except Exception:
                     pass
+            # expand any object streams the scan surfaced (their packed
+            # objects — often the catalog itself — have no top-level
+            # "N G obj" header for the regex to find)
+            for num in list(offsets):
+                try:
+                    o = self._load_at(offsets, num)
+                    if not (isinstance(o, dict) and o.get("Type") == "ObjStm"):
+                        continue
+                    payload = self.stream_bytes(num)
+                    hdr = _Lexer(payload)
+                    for idx in range(int(self.resolve(o.get("N", 0)))):
+                        onum, _ = hdr._number()
+                        hdr._number()  # offset (positional lookup later)
+                        if onum not in offsets:
+                            self.in_objstm.setdefault(onum, (num, idx))
+                except Exception:
+                    continue
             if not self.trailer.get("Root"):
                 # no trailer either: find the catalog by inspection
-                for num in offsets:
-                    o = self._load_at(offsets, num)
+                for num in list(offsets) + list(self.in_objstm):
+                    try:
+                        o = self.get(num)
+                    except Exception:
+                        continue
                     if isinstance(o, dict) and o.get("Type") == "Catalog":
                         self.trailer = {"Root": _Ref(num)}
                         break
@@ -476,10 +752,39 @@ class _Document:
 
     def get(self, num: int):
         if num not in self._cache:
-            if num not in self.offsets:
+            if num in self.offsets:
+                self._cache[num] = self._load_at(self.offsets, num)
+            elif num in self.in_objstm:
+                self._cache[num] = self._load_from_objstm(num)
+            else:
                 raise ValueError(f"pdf parse: missing object {num}")
-            self._cache[num] = self._load_at(self.offsets, num)
         return self._cache[num]
+
+    def _load_from_objstm(self, num: int):
+        """Resolve a type-2 xref entry: parse the containing object
+        stream's ``N`` (num, offset) header pairs, then the object at
+        ``/First + offset``.  Lookup is by object number (the spec makes
+        the index positional, but real incremental updates can leave the
+        index stale — the number is authoritative)."""
+        stm_num, idx = self.in_objstm[num]
+        container = self.resolve(self.get(stm_num))
+        if not (isinstance(container, dict) and container.get("Type") == "ObjStm"):
+            raise ValueError(f"pdf parse: object {stm_num} is not an ObjStm")
+        payload = self.stream_bytes(stm_num)
+        n = int(self.resolve(container.get("N", 0)))
+        first = int(self.resolve(container.get("First", 0)))
+        hdr = _Lexer(payload)
+        pairs = []
+        for _ in range(n):
+            onum, _i = hdr._number()
+            ooff, _i = hdr._number()
+            pairs.append((onum, ooff))
+        hit = next(
+            (p for i, p in enumerate(pairs) if p[0] == num and i == idx), None
+        ) or next((p for p in pairs if p[0] == num), None)
+        if hit is None:
+            raise ValueError(f"pdf parse: object {num} not in ObjStm {stm_num}")
+        return _Lexer(payload, first + hit[1]).object()
 
     def resolve(self, v):
         while isinstance(v, _Ref):
@@ -490,18 +795,11 @@ class _Document:
         obj = self.resolve(self.get(num))  # ensure loaded
         if num not in self._streams:
             raise ValueError(f"pdf parse: object {num} has no stream")
-        raw = self._streams[num]
         filt = self.resolve(obj.get("Filter")) if isinstance(obj, dict) else None
-        filters = (
-            [] if filt is None else filt if isinstance(filt, list) else [filt]
+        parms = (
+            self.resolve(obj.get("DecodeParms")) if isinstance(obj, dict) else None
         )
-        for f in filters:
-            f = self.resolve(f)
-            if str(f) == "FlateDecode":
-                raw = zlib.decompress(raw)
-            else:
-                raise ValueError(f"pdf parse: unsupported filter {f!r}")
-        return raw
+        return _decode_stream(self._streams[num], filt, parms, self.resolve)
 
     # -- page tree ----------------------------------------------------------
 

@@ -142,3 +142,144 @@ def test_fixture_pdf_rows_golden_equality():
         exp = oracle_document(r["url"], r["html"], r["text"])
         assert got == exp, r["url"]
         assert got["doc_kind"] == "pdf"
+
+
+# ---------------------------------------------------------------------------
+# PDF-1.5 layouts: cross-reference streams, object streams, predictors
+# ---------------------------------------------------------------------------
+
+_P15_PAGES = [
+    "Héllo wörld\nLine 2 — ünïcode",
+    "page TWO\na:b\nc: d",
+    "",
+    "tail inside one line",
+]
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(xref_stream=True),
+        dict(xref_stream=True, use_objstm=True),
+        dict(xref_stream=True, predictor=True),
+        dict(xref_stream=True, use_objstm=True, predictor=True),
+        dict(xref_stream=True, use_objstm=True, predictor=True, compress=False),
+        dict(xref_stream=True, use_objstm=True, indirect_length=True),
+    ],
+)
+def test_round_trip_pdf15_layouts(kw):
+    data = build_pdf(_P15_PAGES, **kw)
+    assert data.startswith(b"%PDF-1.5")
+    assert extract_pdf_pages(data) == _P15_PAGES
+
+
+def test_pdf15_structure_is_real():
+    """The xref-stream layout contains NO classic table/trailer keywords
+    and the startxref target is an indirect /Type /XRef stream object."""
+    data = build_pdf(_P15_PAGES, xref_stream=True, use_objstm=True)
+    assert b"\ntrailer" not in data and b"\nxref\n" not in data
+    import re as _re
+
+    at = int(_re.search(rb"startxref\s+(\d+)", data[-128:]).group(1))
+    assert _re.match(rb"\d+ 0 obj", data[at:])
+    assert b"/Type /XRef" in data[at : at + 200]
+    assert b"/Type /ObjStm" in data  # catalog & friends are packed
+
+
+def test_pdf15_damaged_startxref_scan_recovers_through_objstm():
+    """Vandalized startxref on an ObjStm layout: the catalog lives INSIDE
+    the object stream (no top-level 'N 0 obj' for the scan to find), so
+    recovery must expand the ObjStm it scans up."""
+    data = build_pdf(_P15_PAGES, xref_stream=True, use_objstm=True, predictor=True)
+    i = data.rfind(b"startxref")
+    bad = data[:i] + b"startxref\n999999999\n%%EOF\n"
+    assert extract_pdf_pages(bad) == _P15_PAGES
+
+
+def test_pdf15_fuzz_100():
+    rng = random.Random(15)
+    alphabet = "xy ()\\\n\tü 漢\U0001f680<>/%#"
+    for t in range(100):
+        pages = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(90)))
+            for _ in range(1 + rng.randrange(3))
+        ]
+        data = build_pdf(
+            pages,
+            compress=bool(t % 2),
+            xref_stream=True,
+            use_objstm=(t % 3 == 0),
+            predictor=(t % 4 == 0),
+        )
+        assert extract_pdf_pages(data) == pages, t
+
+
+def test_png_unpredict_all_filters():
+    """Sub/Up/Average/Paeth row filters invert exactly (the general
+    PNG-predictor machinery, not just the Up rows the builder emits)."""
+    from pdf_extraction_spark.pdf_parse import _png_unpredict
+
+    rng = random.Random(3)
+    raw = bytes(rng.randrange(256) for _ in range(7 * 6))  # 6 rows of 7
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    filtered = bytearray()
+    prev = bytes(7)
+    for r, ftype in zip(range(6), [0, 1, 2, 3, 4, 2]):
+        row = raw[r * 7 : r * 7 + 7]
+        filtered.append(ftype)
+        for i in range(7):
+            left = row[i - 1] if i else 0
+            up = prev[i]
+            ul = prev[i - 1] if i else 0
+            if ftype == 0:
+                filtered.append(row[i])
+            elif ftype == 1:
+                filtered.append((row[i] - left) & 0xFF)
+            elif ftype == 2:
+                filtered.append((row[i] - up) & 0xFF)
+            elif ftype == 3:
+                filtered.append((row[i] - (left + up) // 2) & 0xFF)
+            else:
+                filtered.append((row[i] - paeth(left, up, ul)) & 0xFF)
+        prev = row
+    assert _png_unpredict(bytes(filtered), columns=7, colors=1, bpc=8) == raw
+
+
+def test_incremental_update_prev_chain():
+    """An appended incremental update (new page-2 content stream + an
+    xref STREAM section whose /Prev points at the original classic
+    TABLE) must win for the redefined object and fall through /Prev for
+    everything else — a mixed table/stream chain, which is what real
+    incrementally-saved PDFs contain."""
+    import re as _re
+    import struct
+    import zlib as _z
+
+    base = build_pdf(["first page", "old second"], compress=False)
+    # object layout from build_pdf: content stream of page 2 is object 7
+    # (1 catalog, 2 pages, 3 font, 4-5 pages, 6-7 contents)
+    new_content = b"BT /F1 12 Tf 14 TL 72 720 Td (new second) Tj ET\n"
+    upd = bytearray(base)
+    off7 = len(upd)
+    upd += b"7 0 obj\n<< /Length %d >>\nstream\n" % len(new_content)
+    upd += new_content + b"\nendstream\nendobj\n"
+    old_start = int(_re.search(rb"startxref\s+(\d+)", base[-128:]).group(1))
+    xref_id = 8
+    xref_at = len(upd)
+    rows = struct.pack(">BIH", 1, off7, 0) + struct.pack(">BIH", 1, xref_at, 0)
+    data = _z.compress(rows)
+    upd += b"%d 0 obj\n" % xref_id
+    upd += (
+        b"<< /Type /XRef /Size 9 /W [ 1 4 2 ] /Index [ 7 2 ] /Root 1 0 R"
+        b" /Prev %d /Filter /FlateDecode /Length %d >>" % (old_start, len(data))
+    )
+    upd += b"\nstream\n" + data + b"\nendstream\nendobj\n"
+    upd += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    assert extract_pdf_pages(bytes(upd)) == ["first page", "new second"]
+    # the original bytes still read the OLD text (append-only property)
+    assert extract_pdf_pages(base) == ["first page", "old second"]
