@@ -1621,6 +1621,59 @@ FROM v GROUP BY doc_id, w, h, ch
 """
 
 
+def q_multimodal_gif_decode(spark, sf_dir):
+    """REAL compressed-image decode #2: spec-conformant GIF89a blobs
+    (8-colour global table, a comment extension the parser must skip,
+    16-byte data sub-blocks, and a from-scratch GIF-LZW stream whose
+    code width grows mid-image) are synthesized per doc id, then the
+    pure-Python decoder LZW-decompresses the index stream and maps it
+    through the palette.  The codec is pinned to real-world GIF bytes
+    in pytest (the canonical 10x10 sample stream decodes AND re-encodes
+    byte-exactly; the classic 1x1 tracking pixel parses), and the
+    DuckDB twin recomputes the expected per-channel stats analytically
+    from the generator's md5-index + affine-palette formulas — it never
+    parses GIF, so any LZW desync breaks the value hash.  Reference
+    analogue: the PIL image side of pdfextraction.py:72-73."""
+    from pdf_extraction_spark.operators.multimodal import decode_gif, synth_gif
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    blobs = synth_gif(d, "doc_id")
+    return decode_gif(blobs, "media_id", "blob")
+
+
+_ORACLE_GIF_DECODE = """
+WITH m AS (
+  SELECT doc_id, CAST(doc_id % 6 + 4 AS INT) AS w, CAST(doc_id % 5 + 4 AS INT) AS h,
+         md5(CAST(doc_id AS VARCHAR) || ':g0') || md5(CAST(doc_id AS VARCHAR) || ':g1')
+         || md5(CAST(doc_id AS VARCHAR) || ':g2') || md5(CAST(doc_id AS VARCHAR) || ':g3')
+         || md5(CAST(doc_id AS VARCHAR) || ':g4') AS hx
+  FROM documents
+),
+px AS (SELECT doc_id, w, h, hx, unnest(range(w*h)) AS p FROM m),
+ix AS (
+  SELECT doc_id, w, h, p,
+         CAST(('0x' || substr(hx, CAST(p*2 + 1 AS INT), 2)) AS INT) % 8 AS idx
+  FROM px
+),
+v AS (
+  SELECT doc_id, w, h, p,
+         (idx * 37 + doc_id) % 256 AS r,
+         (idx * 59 + 3 * doc_id) % 256 AS g,
+         (idx * 83 + 7 * doc_id) % 256 AS b
+  FROM ix
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       CAST(sum(r) * 1000 // (w*h) AS BIGINT) AS mean_r_milli,
+       CAST(sum(g) * 1000 // (w*h) AS BIGINT) AS mean_g_milli,
+       CAST(sum(b) * 1000 // (w*h) AS BIGINT) AS mean_b_milli,
+       CAST(max(CASE WHEN p = 0 THEN r END) AS INT) AS tl_r,
+       CAST(max(CASE WHEN p = 0 THEN g END) AS INT) AS tl_g,
+       CAST(max(CASE WHEN p = 0 THEN b END) AS INT) AS tl_b,
+       CAST(1 AS INT) AS is_valid
+FROM v GROUP BY doc_id, w, h
+"""
+
+
 def q_extract_pdf_text(spark, sf_dir):
     """Text extraction from REAL %PDF bytes (the reference's core
     capability, pdfextraction.py:33-35 / app.py:46-52): each document's
@@ -2346,6 +2399,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bmp_decode": q_multimodal_bmp_decode,
         "multimodal_wav_decode": q_multimodal_wav_decode,
         "multimodal_png_decode": q_multimodal_png_decode,
+        "multimodal_gif_decode": q_multimodal_gif_decode,
         "multimodal_decode_fake": q_multimodal_decode_fake,
         # relational coverage
         "pricing_summary": q_pricing_summary,
@@ -2511,6 +2565,7 @@ def all_oracles() -> dict[str, str]:
         "multimodal_bmp_decode": _ORACLE_BMP_DECODE,
         "multimodal_wav_decode": _ORACLE_WAV_DECODE,
         "multimodal_png_decode": _ORACLE_PNG_DECODE,
+        "multimodal_gif_decode": _ORACLE_GIF_DECODE,
         "multimodal_decode_fake": _ORACLE_MM_DECODE,
         "pricing_summary": _ORACLE_PRICING,
         "top_customers": _ORACLE_TOP_CUSTOMERS,

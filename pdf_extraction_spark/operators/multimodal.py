@@ -795,3 +795,330 @@ def decode_png(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
         F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
     )
     return src.mapInPandas(_png_decode_batches, schema=PNG_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode: GIF (87a/89a) — a from-scratch LZW codec, so this
+# compressed format also needs no image library.  The decoder walks the
+# logical screen descriptor, global/local colour tables, extension
+# blocks (skipped by sub-block length, as the spec requires), and the
+# image's LZW-packed index stream (little-endian bit order, clear/EOI
+# codes, code-width growth to 12 bits), then maps indices through the
+# palette.  The synthesizer emits spec-conformant GIF89a bytes with an
+# 8-colour palette (3-bit min code size, so ~70-pixel images exercise
+# several code-width bumps), a comment extension the parser must skip,
+# and 16-byte data sub-blocks so multi-block reassembly is always hit.
+# Reference analogue: the PIL image side of pdfextraction.py:72-73.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavour LZW: emits CLEAR first, grows the code width when the
+    next free slot reaches 2^width (insert-then-check), emits CLEAR and
+    resets when the table hits 4096 — the classic compress/GIFCOMPR
+    behaviour real writers produce."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    table: dict[bytes, int] = {}
+    free = 0
+    width = 0
+
+    def emit(code: int) -> None:
+        # write at the current width, THEN bump once the free counter
+        # fills the code space — the compress/GIFCOMPR structure
+        # (check-after-every-output, including the flush and EOI), which
+        # is what keeps the decoder's lagged insertions synchronized;
+        # verified byte-exact against the canonical 10x10 sample stream
+        # in tests/test_multimodal.py
+        nonlocal acc, nbits, width
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if free >= (1 << width) and width < 12:
+            width += 1
+
+    def reset() -> None:
+        nonlocal table, free, width
+        table = {bytes([i]): i for i in range(clear)}
+        free = eoi + 1
+        width = min_code_size + 1
+
+    reset()
+    emit(clear)
+    cur = b""
+    for c in indices:
+        nxt = cur + bytes([c])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if free < 4096:
+            table[nxt] = free
+            free += 1
+        else:
+            emit(clear)
+            reset()
+        cur = bytes([c])
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytes | None:
+    """Inverse of :func:`_lzw_encode`, synchronized with real encoders:
+    after inserting an entry the width bumps once the table FILLS the
+    current code space (len == 2^width) — the decoder's insertion lags
+    the encoder's by one code, which exactly offsets the encoder's
+    bump-at-2^w+1, so both read/write code n with the same width
+    (verified against the canonical 10x10 GIF sample stream and the
+    1x1 tracking-pixel bytes in tests).  Handles the c-S-c special case
+    (code == next free slot) and deferred clears (table capped at 4096,
+    width capped at 12); returns None on a malformed stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos_bits = 0
+    total_bits = len(data) * 8
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while pos_bits + width <= total_bits:
+        byte0 = pos_bits // 8
+        code = (
+            int.from_bytes(data[byte0 : byte0 + 3], "little") >> (pos_bits % 8)
+        ) & ((1 << width) - 1)
+        pos_bits += width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if len(out) > max_pixels:
+            return None
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return None  # no EOI before the data ran out
+
+
+def _gif_palette(media_id: int) -> list[tuple[int, int, int]]:
+    """The synthetic 8-colour palette — analytic, so the DuckDB oracle
+    recomputes it without parsing GIF."""
+    return [
+        ((i * 37 + media_id) % 256, (i * 59 + 3 * media_id) % 256,
+         (i * 83 + 7 * media_id) % 256)
+        for i in range(8)
+    ]
+
+
+def _gif_indices(media_id: int, n: int) -> bytes:
+    """Pixel index stream: md5(id:g{t}) digests concatenated, each byte
+    % 8 — the same formula the oracle states in SQL."""
+    need = (n + 15) // 16
+    raw = b"".join(
+        hashlib.md5(f"{media_id}:g{t}".encode()).digest() for t in range(need)
+    )
+    return bytes(b % 8 for b in raw[:n])
+
+
+def synth_gif_bytes(media_id: int) -> bytes:
+    """A spec-conformant GIF89a from an integer id: w = id%6+4,
+    h = id%5+4, one image, 8-colour global table (min LZW code size 3,
+    so the ~16-70 pixel streams bump the code width at least once), a
+    comment extension before the image, and 16-byte data sub-blocks."""
+    w = media_id % 6 + 4
+    h = media_id % 5 + 4
+    pal = _gif_palette(media_id)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF2, 0, 0])  # global table, 8 entries, 3 bits/colour
+    for r, g, b in pal:
+        out += bytes([r, g, b])
+    out += b"\x21\xfe\x09synthetic\x00"  # comment extension, then terminator
+    out += b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += b"\x00"  # no local table, no interlace
+    out += bytes([3])  # LZW minimum code size
+    lzw = _lzw_encode(_gif_indices(media_id, w * h), 3)
+    for i in range(0, len(lzw), 16):
+        chunk = lzw[i : i + 16]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def parse_gif(raw: bytes):
+    """Parse the first image of a GIF87a/89a; returns (w, h, pixels)
+    with pixels = row-major (r, g, b) tuples after palette mapping, or
+    None if the blob is not a decodable non-interlaced GIF.  Walks
+    extension blocks by sub-block length, honours a local colour table
+    when the image descriptor flags one, and LZW-decodes the index
+    stream."""
+    if len(raw) < 13 or raw[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw = int.from_bytes(raw[6:8], "little")
+    sh = int.from_bytes(raw[8:10], "little")
+    flags = raw[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        chunk = raw[pos : pos + 3 * n]
+        if len(chunk) < 3 * n:
+            return None
+        palette = [tuple(chunk[i * 3 : i * 3 + 3]) for i in range(n)]
+        pos += 3 * n
+    while pos < len(raw):
+        marker = raw[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            return None
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(raw) and raw[pos]:
+                pos += 1 + raw[pos]
+            pos += 1
+            continue
+        if marker != 0x2C:  # not an image descriptor
+            return None
+        if pos + 9 > len(raw):
+            return None
+        w = int.from_bytes(raw[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(raw[pos + 6 : pos + 8], "little")
+        iflags = raw[pos + 8]
+        pos += 9
+        if iflags & 0x40:  # interlaced: outside the supported subset
+            return None
+        pal = palette
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            chunk = raw[pos : pos + 3 * n]
+            if len(chunk) < 3 * n:
+                return None
+            pal = [tuple(chunk[i * 3 : i * 3 + 3]) for i in range(n)]
+            pos += 3 * n
+        if pal is None or pos >= len(raw) or not (1 <= w <= sw and 1 <= h <= sh):
+            return None
+        mcs = raw[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            return None
+        lzw = bytearray()
+        while pos < len(raw) and raw[pos]:
+            ln = raw[pos]
+            block = raw[pos + 1 : pos + 1 + ln]
+            if len(block) < ln:
+                return None
+            lzw += block
+            pos += 1 + ln
+        indices = _lzw_decode(bytes(lzw), mcs, w * h)
+        if indices is None or len(indices) != w * h:
+            return None
+        if any(i >= len(pal) for i in indices):
+            return None
+        return w, h, [pal[i] for i in indices]
+    return None
+
+
+GIF_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r_milli", LongType()),
+        StructField("mean_g_milli", LongType()),
+        StructField("mean_b_milli", LongType()),
+        StructField("tl_r", IntegerType()),
+        StructField("tl_g", IntegerType()),
+        StructField("tl_b", IntegerType()),
+        StructField("is_valid", IntegerType()),
+    ]
+)
+
+
+def _gif_synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": [int(m) for m in pdf["media_id"]],
+                "blob": [synth_gif_bytes(int(m)) for m in pdf["media_id"]],
+            }
+        )
+
+
+def synth_gif(df: DataFrame, id_col: str) -> DataFrame:
+    """(media_id, blob) with a real GIF89a per id, Arrow-batched."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    return src.mapInPandas(
+        _gif_synth_batches, schema="media_id long, blob binary"
+    )
+
+
+def _gif_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {f.name: [] for f in GIF_DECODE_SCHEMA.fields}
+        for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+            parsed = parse_gif(bytes(blob))
+            out["media_id"].append(int(mid))
+            if parsed is None:
+                for k in out:
+                    if k not in ("media_id", "is_valid"):
+                        out[k].append(None)
+                out["is_valid"].append(0)
+                continue
+            w, h, px = parsed
+            n = w * h
+            sums = [0, 0, 0]
+            for p in px:
+                sums[0] += p[0]
+                sums[1] += p[1]
+                sums[2] += p[2]
+            out["width"].append(w)
+            out["height"].append(h)
+            out["mean_r_milli"].append(sums[0] * 1000 // n)
+            out["mean_g_milli"].append(sums[1] * 1000 // n)
+            out["mean_b_milli"].append(sums[2] * 1000 // n)
+            out["tl_r"].append(px[0][0])
+            out["tl_g"].append(px[0][1])
+            out["tl_b"].append(px[0][2])
+            out["is_valid"].append(1)
+        yield pd.DataFrame(out)
+
+
+def decode_gif(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """REAL pixel decode for GIF blobs (Arrow-batched mapInPandas):
+    from-scratch LZW + palette mapping, then per-channel means and the
+    top-left pixel."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
+    )
+    return src.mapInPandas(_gif_decode_batches, schema=GIF_DECODE_SCHEMA)

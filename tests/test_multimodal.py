@@ -282,3 +282,158 @@ def test_png_decode_spark_matches_python(spark):
             assert r["tl_a"] == rows[0][3]
         else:
             assert r["mean_a_milli"] is None and r["tl_a"] is None
+
+
+# ---------------------------------------------------------------------------
+# GIF: from-scratch LZW codec pinned to REAL-WORLD bytes, then the
+# synth/parse pair and the Spark operator
+# ---------------------------------------------------------------------------
+
+# The canonical 10x10 GIF sample stream (the worked LZW example used
+# across GIF documentation): min code size 2, grows to 4-bit codes
+# mid-stream — a REAL encoder's output, so it pins our codec's width
+# synchronization to the spec, not to itself.
+_CANONICAL_LZW = bytes.fromhex("8C2D99872A1CDC33A00275EC95FAA8DE608C04914C01")
+_CANONICAL_GRID = (
+    "1111122222" "1111122222" "1111122222"
+    "1110000222" "1110000222"
+    "2220000111" "2220000111"
+    "2222211111" "2222211111" "2222211111"
+)
+
+# The classic 1x1 transparent tracking pixel, byte-for-byte as served
+# by the web for decades.
+_ONE_PX = bytes.fromhex(
+    "47494638396101000100800000ffffff0000002c00000000010001000002024401003b"
+)
+
+
+def test_gif_lzw_decodes_canonical_sample():
+    from pdf_extraction_spark.operators.multimodal import _lzw_decode
+
+    dec = _lzw_decode(_CANONICAL_LZW, 2, 100)
+    assert dec is not None
+    assert "".join(str(c) for c in dec) == _CANONICAL_GRID
+
+
+def test_gif_lzw_reencodes_canonical_sample_byte_exact():
+    """Greedy LZW is deterministic, so a spec-synchronized encoder must
+    reproduce the canonical bytes EXACTLY — this catches any code-width
+    bump placed one code early or late (both desyncs round-trip cleanly
+    against a matching-but-wrong decoder; the external vector cannot)."""
+    from pdf_extraction_spark.operators.multimodal import _lzw_encode
+
+    indices = bytes(int(c) for c in _CANONICAL_GRID)
+    assert _lzw_encode(indices, 2) == _CANONICAL_LZW
+
+
+def test_gif_parses_real_tracking_pixel():
+    from pdf_extraction_spark.operators.multimodal import parse_gif
+
+    assert parse_gif(_ONE_PX) == (1, 1, [(255, 255, 255)])
+
+
+def test_gif_lzw_roundtrip_fuzz():
+    import random
+
+    from pdf_extraction_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    rng = random.Random(11)
+    for t in range(150):
+        n = rng.randrange(1, 6000)
+        k = rng.choice([2, 3, 4, 8])
+        data = bytes(rng.randrange(1 << k) for _ in range(n))
+        assert _lzw_decode(_lzw_encode(data, k), k, n) == data, (t, n, k)
+    # adversarial: single-symbol runs (the c-S-c special case repeatedly)
+    # and >4096-entry streams that force a mid-stream CLEAR reset
+    for k in (2, 8):
+        run = bytes([1]) * 20000
+        assert _lzw_decode(_lzw_encode(run, k), k, len(run)) == run
+        cyc = bytes(range(1 << k)) * 400
+        assert _lzw_decode(_lzw_encode(cyc, k), k, len(cyc)) == cyc
+
+
+def test_gif_synth_parse_roundtrip():
+    from pdf_extraction_spark.operators.multimodal import (
+        _gif_indices,
+        _gif_palette,
+        parse_gif,
+        synth_gif_bytes,
+    )
+
+    for mid in range(60):
+        blob = synth_gif_bytes(mid)
+        assert blob[:6] == b"GIF89a" and blob[-1:] == b"\x3b"
+        w, h, px = parse_gif(blob)
+        assert (w, h) == (mid % 6 + 4, mid % 5 + 4)
+        pal = _gif_palette(mid)
+        assert px == [pal[i] for i in _gif_indices(mid, w * h)], mid
+
+
+def test_gif_local_color_table_overrides_global():
+    """Hand-built GIF whose image descriptor carries a LOCAL table with
+    inverted colours: the parser must use it, not the global one."""
+    from pdf_extraction_spark.operators.multimodal import _lzw_encode, parse_gif
+
+    indices = bytes([0, 1, 1, 0])
+    lzw = _lzw_encode(indices, 2)
+    out = bytearray(b"GIF89a")
+    out += (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    out += bytes([0x80, 0, 0])  # global table, 2 entries
+    out += bytes([10, 10, 10, 20, 20, 20])  # global palette (decoys)
+    out += b"\x2c" + bytes(4) + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    out += bytes([0x80])  # LOCAL table flag, 2 entries
+    out += bytes([200, 0, 0, 0, 0, 200])  # local palette
+    out += bytes([2])  # min code size
+    out += bytes([len(lzw)]) + lzw + b"\x00\x3b"
+    assert parse_gif(bytes(out)) == (
+        2,
+        2,
+        [(200, 0, 0), (0, 0, 200), (0, 0, 200), (200, 0, 0)],
+    )
+
+
+def test_gif_rejects_malformed():
+    from pdf_extraction_spark.operators.multimodal import parse_gif, synth_gif_bytes
+
+    gif = synth_gif_bytes(9)
+    assert parse_gif(gif) is not None
+    assert parse_gif(b"") is None
+    assert parse_gif(b"GIF90a" + gif[6:]) is None
+    assert parse_gif(gif[:20]) is None
+    # truncated LZW data (drop the last sub-block + trailer)
+    assert parse_gif(gif[:-4]) is None
+    # interlace flag set -> outside the subset, rejected not mis-decoded
+    bad = bytearray(gif)
+    desc = bad.index(b"\x2c")
+    bad[desc + 9] |= 0x40
+    assert parse_gif(bytes(bad)) is None
+
+
+def test_gif_decode_spark_matches_python(spark):
+    """decode_gif over synth_gif blobs reproduces the analytic
+    palette/index stats — the same invariant the driver oracle states."""
+    from pdf_extraction_spark.operators.multimodal import (
+        _gif_indices,
+        _gif_palette,
+        decode_gif,
+        synth_gif,
+    )
+
+    ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    got = {
+        r["media_id"]: r.asDict()
+        for r in decode_gif(synth_gif(ids, "doc_id"), "media_id", "blob").collect()
+    }
+    assert len(got) == 40
+    for mid in range(40):
+        w, h = mid % 6 + 4, mid % 5 + 4
+        pal = _gif_palette(mid)
+        px = [pal[i] for i in _gif_indices(mid, w * h)]
+        n = w * h
+        r = got[mid]
+        assert r["is_valid"] == 1 and (r["width"], r["height"]) == (w, h)
+        assert r["mean_r_milli"] == sum(p[0] for p in px) * 1000 // n
+        assert r["mean_g_milli"] == sum(p[1] for p in px) * 1000 // n
+        assert r["mean_b_milli"] == sum(p[2] for p in px) * 1000 // n
+        assert (r["tl_r"], r["tl_g"], r["tl_b"]) == px[0]
