@@ -18,7 +18,9 @@ breaks the value hash.
 Variant coverage inside the one entry, keyed off doc_id so the driver
 run exercises every parser path:
 
-* ``doc_id % 3 == 0``  -> raw (uncompressed) content streams;
+* ``doc_id % 9``       -> content-stream filter: 0 raw, 3 LZWDecode,
+  6 ASCII85Decode, 2 RunLengthDecode, 5 ASCIIHexDecode, else
+  FlateDecode — every non-image PDF stream filter;
 * ``doc_id % 5 == 0``  -> ``/Length`` stored as a forward indirect ref;
 * ``doc_id % 7 == 3``  -> the startxref pointer is vandalized, forcing
   the damaged-xref scan-recovery path (real-crawl wrinkle);
@@ -51,6 +53,10 @@ PDF_ROUNDTRIP_SCHEMA = (
 
 _STARTXREF_RE = re.compile(rb"startxref\s+\d+")
 
+# content-stream filter per doc_id % 9 (default: FlateDecode) — drives
+# every non-image PDF filter decoder in the per-round driver run
+_FILTER_BY_MOD = {0: False, 3: "lzw", 6: "a85", 2: "rl", 5: "ahx"}
+
 
 def _vandalize_startxref(pdf: bytes) -> bytes:
     """Point startxref at byte 0 (the %PDF header), so the xref load
@@ -73,7 +79,7 @@ def _roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             half = len(t) // 2
             blob = build_pdf(
                 [t[:half], t[half:]],
-                compress=doc_id % 3 != 0,
+                compress=_FILTER_BY_MOD.get(doc_id % 9, True),
                 indirect_length=doc_id % 5 == 0,
                 # PDF-1.5 layouts (odd ids): cross-reference stream,
                 # with objects packed into an /ObjStm every 4th id and

@@ -116,8 +116,11 @@ def build_pdf(
     Unicode boundaries stay INSIDE a shown string, octal-escaped, so the
     round trip is exact).
 
-    * ``compress``: FlateDecode the content streams via stdlib zlib —
-      the normal path; ``False`` leaves raw streams (parser coverage).
+    * ``compress``: ``True`` FlateDecodes the content streams via
+      stdlib zlib — the normal path; ``False`` leaves raw streams; a
+      filter name (``"flate"``, ``"lzw"``, ``"ahx"``, ``"a85"``,
+      ``"rl"``) selects that single filter instead (parser coverage
+      for the non-image PDF filter set).
     * ``indirect_length``: store each stream's ``/Length`` as a forward
       reference to a separate integer object (a wrinkle real writers
       emit that naive parsers trip over).
@@ -163,8 +166,14 @@ def build_pdf(
             f" /Contents {cid} 0 R >>"
         ).encode("ascii")
         raw = _page_content(pages[i].split("\n"))
-        data = zlib.compress(raw, 9) if compress else raw
-        filt = b" /Filter /FlateDecode" if compress else b""
+        fname = "flate" if compress is True else compress
+        if fname:
+            pdf_name, encoder = _BUILD_FILTERS[fname]
+            data = encoder(raw)
+            filt = b" /Filter " + pdf_name
+        else:
+            data = raw
+            filt = b""
         if indirect_length:
             length = f"{len_ids[i]} 0 R".encode("ascii")
             objects[len_ids[i]] = str(len(data)).encode("ascii")
@@ -522,10 +531,252 @@ def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
     return bytes(out)
 
 
+def _ascii_hex_decode(raw: bytes) -> bytes:
+    """/ASCIIHexDecode: hex pairs, whitespace ignored, ``>`` terminates,
+    odd trailing digit padded with 0 (PDF 32000 §7.4.2)."""
+    digits = bytearray()
+    for c in raw:
+        if c == 0x3E:  # >
+            break
+        if c in _WS:
+            continue
+        digits.append(c)
+    if len(digits) % 2:
+        digits.append(0x30)
+    try:
+        return bytes.fromhex(digits.decode("ascii"))
+    except ValueError:
+        raise ValueError("pdf parse: bad ASCIIHexDecode data")
+
+
+def _ascii85_decode(raw: bytes) -> bytes:
+    """/ASCII85Decode: base-85 groups, ``z`` = four zero bytes, ``~>``
+    terminates, 1-4 char partial final group (PDF 32000 §7.4.3)."""
+    out = bytearray()
+    group: list[int] = []
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if c in _WS:
+            i += 1
+            continue
+        if c == 0x7E:  # ~> end marker
+            break
+        if c == 0x7A and not group:  # z shorthand
+            out += b"\x00\x00\x00\x00"
+            i += 1
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise ValueError("pdf parse: bad ASCII85 character")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise ValueError("pdf parse: ASCII85 group overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+        i += 1
+    if group:
+        if len(group) == 1:
+            raise ValueError("pdf parse: lone ASCII85 trailing character")
+        k = len(group)
+        v = 0
+        for g in group + [84] * (5 - k):
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _run_length_decode(raw: bytes) -> bytes:
+    """/RunLengthDecode: length byte L then either L+1 literal bytes
+    (L <= 127) or one byte repeated 257-L times (L >= 129); 128 = EOD
+    (PDF 32000 §7.4.5)."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        ln = raw[i]
+        if ln == 128:
+            break
+        if ln <= 127:
+            chunk = raw[i + 1 : i + 2 + ln]
+            if len(chunk) < ln + 1:
+                raise ValueError("pdf parse: truncated RunLength literal")
+            out += chunk
+            i += 2 + ln
+        else:
+            if i + 1 >= n:
+                raise ValueError("pdf parse: truncated RunLength run")
+            out += bytes([raw[i + 1]]) * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
+def _pdf_lzw_decode(raw: bytes, early_change: int = 1) -> bytes:
+    """/LZWDecode (PDF 32000 §7.4.4): the TIFF/PDF LZW flavour —
+    big-endian bit packing (unlike GIF's little-endian), fixed 8-bit
+    symbols (256=clear, 257=EOD), code width 9→12, and the
+    ``EarlyChange`` quirk: with the default 1, the width bumps one code
+    EARLIER than the table arithmetic requires."""
+    out = bytearray()
+    pos_bits = 0
+    total_bits = len(raw) * 8
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while pos_bits + width <= total_bits:
+        byte0 = pos_bits // 8
+        window = int.from_bytes(raw[byte0 : byte0 + 4].ljust(4, b"\0"), "big")
+        code = (window >> (32 - (pos_bits % 8) - width)) & ((1 << width) - 1)
+        pos_bits += width
+        if code == 256:
+            reset()
+            continue
+        if code == 257:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("pdf parse: bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("pdf parse: LZW code out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    raise ValueError("pdf parse: LZW data ended without EOD")
+
+
+def _pdf_lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF/TIFF-flavour LZW encoder (big-endian bits, 256=clear,
+    257=EOD, EarlyChange).  The width-bump check runs after EVERY
+    output, before the pending insert — the same compress-style
+    structure as the GIF encoder — because only that placement keeps
+    the decoder's lagged insertions synchronized across the final
+    flush-then-EOD boundary (a just-in-time check desyncs there: the
+    flush emission has no insert, so the encoder's free counter lags
+    the decoder's table by one exactly at EOD)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    table: dict[bytes, int] = {}
+    free = 0
+    width = 9
+
+    def reset() -> None:
+        nonlocal table, free, width
+        table = {bytes([i]): i for i in range(256)}
+        free = 258
+        width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits, width
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        if free + early_change >= (1 << width) and width < 12:
+            width += 1
+
+    reset()
+    emit(256)
+    cur = b""
+    for c in data:
+        nxt = cur + bytes([c])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if free < 4096:
+            table[nxt] = free
+            free += 1
+        else:
+            emit(256)
+            reset()
+        cur = bytes([c])
+    if cur:
+        emit(table[cur])
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _ascii_hex_encode(data: bytes) -> bytes:
+    return data.hex().encode("ascii") + b">"
+
+
+def _ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        pad = 4 - len(chunk)
+        v = int.from_bytes(chunk + b"\0" * pad, "big")
+        digits = []
+        for _ in range(5):
+            digits.append(v % 85)
+            v //= 85
+        enc = bytes(d + 0x21 for d in reversed(digits))
+        if pad == 0 and enc == b"!!!!!":
+            out += b"z"
+        else:
+            out += enc[: 5 - pad]
+    return bytes(out) + b"~>"
+
+
+def _run_length_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out) + b"\x80"
+
+
+# builder-side filter table: name -> (PDF /Filter name, encoder)
+_BUILD_FILTERS = {
+    "flate": (b"/FlateDecode", lambda b: zlib.compress(b, 9)),
+    "lzw": (b"/LZWDecode", _pdf_lzw_encode),
+    "ahx": (b"/ASCIIHexDecode", _ascii_hex_encode),
+    "a85": (b"/ASCII85Decode", _ascii85_encode),
+    "rl": (b"/RunLengthDecode", _run_length_encode),
+}
+
+
 def _decode_stream(raw: bytes, filt, parms, resolve=lambda v: v) -> bytes:
-    """Apply a stream's filter chain (FlateDecode only — anything else
-    raises, contained per document by the kernel's F18 guard) plus any
-    PNG ``/Predictor`` in the matching DecodeParms entry."""
+    """Apply a stream's filter chain — FlateDecode, LZWDecode,
+    ASCIIHexDecode, ASCII85Decode, RunLengthDecode; anything else
+    (DCT/JBIG2/CCITT image codecs, Crypt) raises, contained per
+    document by the kernel's F18 guard — plus any PNG ``/Predictor``
+    in the matching DecodeParms entry (Flate and LZW)."""
     filt = resolve(filt)
     filters = [] if filt is None else (filt if isinstance(filt, list) else [filt])
     parms = resolve(parms)
@@ -533,12 +784,24 @@ def _decode_stream(raw: bytes, filt, parms, resolve=lambda v: v) -> bytes:
         [] if parms is None else (parms if isinstance(parms, list) else [parms])
     )
     for i, f in enumerate(filters):
-        f = resolve(f)
-        if str(f) != "FlateDecode":
-            raise ValueError(f"pdf parse: unsupported filter {f!r}")
-        raw = zlib.decompress(raw)
+        f = str(resolve(f))
         p = resolve(parm_list[i]) if i < len(parm_list) else None
-        if isinstance(p, dict):
+        p = p if isinstance(p, dict) else {}
+        if f == "FlateDecode":
+            raw = zlib.decompress(raw)
+        elif f == "LZWDecode":
+            raw = _pdf_lzw_decode(
+                raw, int(resolve(p.get("EarlyChange", 1)) or 0)
+            )
+        elif f == "ASCIIHexDecode":
+            raw = _ascii_hex_decode(raw)
+        elif f == "ASCII85Decode":
+            raw = _ascii85_decode(raw)
+        elif f == "RunLengthDecode":
+            raw = _run_length_decode(raw)
+        else:
+            raise ValueError(f"pdf parse: unsupported filter {f!r}")
+        if f in ("FlateDecode", "LZWDecode"):
             pred = int(resolve(p.get("Predictor", 1)) or 1)
             if pred >= 10:
                 raw = _png_unpredict(

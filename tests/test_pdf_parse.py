@@ -80,8 +80,9 @@ def test_damaged_xref_falls_back_to_object_scan():
 
 
 def test_unsupported_filter_raises():
+    # image codecs stay out of the subset (no JPEG machinery in-env)
     data = build_pdf(["x"], compress=False)
-    bad = data.replace(b"<< /Length", b"<< /Filter /LZWDecode /Length")
+    bad = data.replace(b"<< /Length", b"<< /Filter /DCTDecode /Length")
     with pytest.raises(ValueError, match="unsupported filter"):
         extract_pdf_pages(bad)
 
@@ -283,3 +284,67 @@ def test_incremental_update_prev_chain():
     assert extract_pdf_pages(bytes(upd)) == ["first page", "new second"]
     # the original bytes still read the OLD text (append-only property)
     assert extract_pdf_pages(base) == ["first page", "old second"]
+
+
+# ---------------------------------------------------------------------------
+# stream filters beyond FlateDecode: LZW (TIFF/PDF flavour), ASCII85,
+# ASCIIHex, RunLength
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("filt", ["flate", "lzw", "ahx", "a85", "rl"])
+@pytest.mark.parametrize("xs", [False, True])
+def test_round_trip_all_stream_filters(filt, xs):
+    data = build_pdf(_P15_PAGES, compress=filt, xref_stream=xs, use_objstm=xs)
+    assert extract_pdf_pages(data) == _P15_PAGES
+
+
+def test_pdf_lzw_codec_fuzz_and_early_change():
+    """PDF/TIFF LZW: big-endian bits, EarlyChange 0 and 1, width growth
+    through 12 bits and mid-stream CLEAR resets on >4096-entry inputs.
+    The flush->EOD boundary is the regression this pins: a width bump
+    landing exactly between the final data code and EOD desyncs only
+    there (both sides round-trip cleanly everywhere else)."""
+    from pdf_extraction_spark.pdf_parse import _pdf_lzw_decode, _pdf_lzw_encode
+
+    rng = random.Random(6)
+    for t in range(150):
+        n = rng.randrange(0, 6000)
+        if t % 3 == 0:
+            data = bytes(rng.randrange(4) for _ in range(n))  # long chains
+        elif t % 3 == 1:
+            data = bytes(rng.randrange(256) for _ in range(n))
+        else:
+            data = bytes([rng.randrange(256)]) * n  # pure run (c-S-c)
+        for e in (0, 1):
+            assert _pdf_lzw_decode(_pdf_lzw_encode(data, e), e) == data, (t, e)
+
+
+def test_ascii85_known_vectors_and_edge_cases():
+    from pdf_extraction_spark.pdf_parse import _ascii85_decode, _ascii85_encode
+
+    # the classic Leviathan-opening group
+    assert _ascii85_decode(b"9jqo^~>") == b"Man "
+    assert _ascii85_encode(b"Man ") == b"9jqo^~>"
+    assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert _ascii85_encode(b"\x00\x00\x00\x00") == b"z~>"
+    assert _ascii85_decode(b" 9 j q o ^ ~>") == b"Man "  # whitespace ignored
+    with pytest.raises(ValueError):
+        _ascii85_decode(b"9~>")  # lone trailing char is illegal
+    with pytest.raises(ValueError):
+        _ascii85_decode(b"\x7f\x7f\x7f\x7f\x7f~>")  # out of range
+
+
+def test_hex_and_runlength_edge_cases():
+    from pdf_extraction_spark.pdf_parse import (
+        _ascii_hex_decode,
+        _run_length_decode,
+        _run_length_encode,
+    )
+
+    assert _ascii_hex_decode(b"48 65 6C\n6C 6F>") == b"Hello"
+    assert _ascii_hex_decode(b"7>") == b"\x70"  # odd digit pads with 0
+    assert _run_length_decode(_run_length_encode(b"")) == b""
+    assert _run_length_decode(b"\x00A\x80") == b"A"
+    assert _run_length_decode(b"\xffB\x80") == b"B" * 2
+    assert _run_length_decode(b"\x81C\x80") == b"C" * 128
