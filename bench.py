@@ -58,6 +58,7 @@ HEADLINE = [
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
     "multimodal_png_decode",
+    "multimodal_gif_decode",
     "extract_pdf_text",
     "pricing_summary",
     "top_customers",

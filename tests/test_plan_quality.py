@@ -85,3 +85,19 @@ def test_exact_dedup_has_partial_aggregation(spark, pages_unit):
     tree = plan.split("\n\n")[0].splitlines()
     exch_idx = next(i for i, l in enumerate(tree) if "Exchange" in l)
     assert any("Aggregate" in l for l in tree[exch_idx + 1:]), plan
+
+
+def test_codec_entries_are_single_pass_no_shuffle(spark):
+    """The round-4 codec entries (PDF text round-trip, PNG decode, GIF
+    decode) must each plan as scan -> Arrow-batched Python stage(s) ->
+    project with NO Exchange: the whole point of keeping codecs inside
+    mapInPandas is that a 100 TB decode job is embarrassingly parallel,
+    so a shuffle appearing here would be a scale regression."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.all_queries()
+    for name in ("extract_pdf_text", "multimodal_png_decode", "multimodal_gif_decode"):
+        plan = _formatted_plan(qs[name](spark, "/root/testdata/sf0.001"))
+        assert "MapInPandas" in plan or "ArrowEvalPython" in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+        assert "Exchange" not in plan, (name, plan)
