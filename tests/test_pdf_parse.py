@@ -348,3 +348,54 @@ def test_hex_and_runlength_edge_cases():
     assert _run_length_decode(b"\x00A\x80") == b"A"
     assert _run_length_decode(b"\xffB\x80") == b"B" * 2
     assert _run_length_decode(b"\x81C\x80") == b"C" * 128
+
+
+# ---------------------------------------------------------------------------
+# Property-based round trip over the FULL variant matrix.  The seeded fuzz
+# above predates the PDF-1.5 features; this drives hypothesis through every
+# builder knob at once (stream filter x indirect /Length x xref stream x
+# object streams x PNG predictor x vandalized startxref) so a regression in
+# any combination shrinks to a minimal failing document.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_page_text = st.text(
+    # printable-ish unicode plus the delimiters the escaper must handle;
+    # hypothesis' default text() already excludes surrogates
+    alphabet=st.characters(blacklist_categories=("Cs",)),
+    max_size=160,
+)
+_pages = st.lists(_page_text, min_size=1, max_size=4)
+_filter = st.sampled_from([True, False, "flate", "lzw", "ahx", "a85", "rl"])
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    pages=_pages,
+    compress=_filter,
+    indirect_length=st.booleans(),
+    xref_stream=st.booleans(),
+    use_objstm=st.booleans(),
+    predictor=st.booleans(),
+    vandalize=st.booleans(),
+)
+def test_round_trip_property_full_matrix(
+    pages, compress, indirect_length, xref_stream, use_objstm, predictor, vandalize
+):
+    data = build_pdf(
+        pages,
+        compress=compress,
+        indirect_length=indirect_length,
+        xref_stream=xref_stream,
+        # documented builder precondition: objstm/predictor are PDF-1.5
+        # xref-stream features
+        use_objstm=use_objstm and xref_stream,
+        predictor=predictor and xref_stream,
+    )
+    if vandalize:
+        from pdf_extraction_spark.operators.pdf_text import _vandalize_startxref
+
+        data = _vandalize_startxref(data)
+    assert extract_pdf_pages(data) == pages
