@@ -1674,6 +1674,78 @@ FROM v GROUP BY doc_id, w, h
 """
 
 
+def q_multimodal_jpeg_decode(spark, sf_dir):
+    """REAL compressed-image decode #3: baseline JFIF (SOF0) blobs —
+    the format the reference's raster path actually produces
+    (pdf2image/PIL, pdfextraction.py:16,72-73) — are synthesized per
+    doc id and decoded by a from-scratch codec: marker walk, DHT-built
+    Huffman tables, byte unstuffing, RSTn sequence checks, dequant +
+    numpy IDCT, 4:2:0 chroma upsample, fixed-point YCbCr->RGB.  The
+    images are constant per 16x16 MCU so every block is DC-only and
+    the lossy pipeline is EXACTLY invertible (quant tables all 1s);
+    the DuckDB twin never parses JPEG — it replays the generator's md5
+    MCU colours through the codec's documented fixed-point colour
+    formulas, so any defect in markers, Huffman, bit packing, restart
+    handling, subsampling or the IDCT breaks the value hash.  The full
+    AC path (runs, ZRL, EOB) is pinned exactly in pytest via a
+    coefficient-domain replay (tests/test_jpeg.py)."""
+    from pdf_extraction_spark.operators.jpeg import decode_jpeg, synth_jpeg
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    blobs = synth_jpeg(d, "doc_id")
+    return decode_jpeg(blobs, "media_id", "blob")
+
+
+_ORACLE_JPEG_DECODE = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(16 + doc_id % 5 * 7 AS INT) AS w,
+         CAST(16 + doc_id % 4 * 9 AS INT) AS h
+  FROM documents
+),
+g AS (SELECT doc_id, w, h, unnest(range((h + 15) // 16)) AS my FROM m),
+gm AS (SELECT doc_id, w, h, my, unnest(range((w + 15) // 16)) AS mx FROM g),
+px AS (
+  SELECT doc_id, w, h, my, mx,
+         md5(CAST(doc_id AS VARCHAR) || ':j' || CAST(my AS VARCHAR) || ':'
+             || CAST(mx AS VARCHAR)) AS hx,
+         LEAST(16, w - 16 * mx) AS vw,
+         LEAST(16, h - 16 * my) AS vh
+  FROM gm
+),
+rgb AS (
+  SELECT doc_id, w, h, my, mx, vw, vh,
+         CAST(('0x' || substr(hx, 1, 2)) AS INT) AS r,
+         CAST(('0x' || substr(hx, 3, 2)) AS INT) AS g,
+         CAST(('0x' || substr(hx, 5, 2)) AS INT) AS b
+  FROM px
+),
+ycc AS (
+  SELECT doc_id, w, h, my, mx, vw, vh,
+         (19595*r + 38470*g + 7471*b + 32768) // 65536 AS y,
+         LEAST(255, (8388608 - 11058*r - 21710*g + 32768*b + 32768) // 65536) AS cb,
+         LEAST(255, (8388608 + 32768*r - 27439*g - 5329*b + 32768) // 65536) AS cr
+  FROM rgb
+),
+dec AS (
+  SELECT doc_id, w, h, my, mx, vw, vh,
+         LEAST(255, GREATEST(0, (y*65536 + 91881*(cr-128) + 32768 + 16777216) // 65536 - 256)) AS r2,
+         LEAST(255, GREATEST(0, (y*65536 - 22554*(cb-128) - 46802*(cr-128) + 32768 + 16777216) // 65536 - 256)) AS g2,
+         LEAST(255, GREATEST(0, (y*65536 + 116130*(cb-128) + 32768 + 16777216) // 65536 - 256)) AS b2
+  FROM ycc
+)
+SELECT doc_id AS media_id, w AS width, h AS height, CAST(3 AS INT) AS channels,
+       CAST(sum(r2 * vw * vh) * 1000 // (w*h) AS BIGINT) AS mean_r_milli,
+       CAST(sum(g2 * vw * vh) * 1000 // (w*h) AS BIGINT) AS mean_g_milli,
+       CAST(sum(b2 * vw * vh) * 1000 // (w*h) AS BIGINT) AS mean_b_milli,
+       CAST(max(CASE WHEN my = 0 AND mx = 0 THEN r2 END) AS INT) AS tl_r,
+       CAST(max(CASE WHEN my = 0 AND mx = 0 THEN g2 END) AS INT) AS tl_g,
+       CAST(max(CASE WHEN my = 0 AND mx = 0 THEN b2 END) AS INT) AS tl_b,
+       CAST(1 AS INT) AS is_valid
+FROM dec GROUP BY doc_id, w, h
+"""
+
+
 def q_extract_pdf_text(spark, sf_dir):
     """Text extraction from REAL %PDF bytes (the reference's core
     capability, pdfextraction.py:33-35 / app.py:46-52): each document's
@@ -2400,6 +2472,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav_decode": q_multimodal_wav_decode,
         "multimodal_png_decode": q_multimodal_png_decode,
         "multimodal_gif_decode": q_multimodal_gif_decode,
+        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "multimodal_decode_fake": q_multimodal_decode_fake,
         # relational coverage
         "pricing_summary": q_pricing_summary,
@@ -2440,6 +2513,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #                             pricing_summary + topk_docs_by_chars
 #   multimodal_byte_features— byte histogram/entropy; weakest multimodal
 #                             twin, superseded by the real decoders
+#
+# Added AFTER the round-4 driver snapshot (so deliberately NOT in
+# _DRIVER_ORDER yet — promote in the first commit of round 5):
+#   multimodal_jpeg_decode  — real baseline-JFIF codec; value-checked by
+#                             scripts/check_oracle.py --all and pytest
 _DRIVER_ORDER = [
     # never driver-checked in rounds 1-3 (verdict ask #2) — first
     "docs_rollup",
@@ -2566,6 +2644,7 @@ def all_oracles() -> dict[str, str]:
         "multimodal_wav_decode": _ORACLE_WAV_DECODE,
         "multimodal_png_decode": _ORACLE_PNG_DECODE,
         "multimodal_gif_decode": _ORACLE_GIF_DECODE,
+        "multimodal_jpeg_decode": _ORACLE_JPEG_DECODE,
         "multimodal_decode_fake": _ORACLE_MM_DECODE,
         "pricing_summary": _ORACLE_PRICING,
         "top_customers": _ORACLE_TOP_CUSTOMERS,

@@ -59,6 +59,7 @@ HEADLINE = [
     "multimodal_wav_decode",
     "multimodal_png_decode",
     "multimodal_gif_decode",
+    "multimodal_jpeg_decode",
     "extract_pdf_text",
     "pricing_summary",
     "top_customers",

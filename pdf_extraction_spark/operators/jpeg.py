@@ -1,0 +1,782 @@
+"""REAL pixel decode: baseline JPEG (JFIF / ITU T.81 SOF0) — a
+from-scratch codec, no image library.
+
+This closes the last "not attempted" codec from the multimodal family
+(BMP/WAV/PNG/GIF are real as of rounds 3-4; JPEG was documented as
+needing a DCT).  numpy IS in this container, so the DCT is an 8x8
+orthonormal matrix product — everything else (markers, Huffman,
+zigzag, byte stuffing, restart intervals, chroma subsampling,
+fixed-point colour conversion) is plain integer Python.
+
+Reference analogue: the PIL/pdf2image raster side of
+/root/reference/pdfextraction.py:16,72-73 (convert_from_bytes yields
+JPEG-backed PIL images).  The reference shells out to poppler for the
+pixels; this module implements the decode itself.
+
+Oracle strategy (mirrors PNG/GIF): the synthesizer emits images that
+are CONSTANT per 16x16 MCU, so every 8x8 block is DC-only and the
+lossy DCT-quantize-IDCT pipeline is EXACTLY invertible (quant tables
+are all 1s; the DC of a constant block is 8*(v-128), an integer).
+Colour conversion runs in documented fixed-point integer arithmetic
+that the DuckDB twin replays verbatim — so the oracle never parses
+JPEG, yet any defect in the marker walk, Huffman tables, bit packing,
+restart handling, subsampling or IDCT breaks the value hash.  The
+full AC path (runs, ZRL, EOB, multi-symbol blocks) is exercised
+exactly in pytest by comparing the bitstream round trip against a
+coefficient-domain replay (Huffman is lossless, so they must agree
+bit-for-bit on ANY content and ANY quant table).
+
+Fixed-point colour model (the contract the oracle replays; all
+divisions are on non-negative values because DuckDB's // truncates
+toward zero while Python's floors):
+
+  Y  = (19595*R + 38470*G +  7471*B + 32768) // 65536
+  Cb = min(255, (8388608 - 11058*R - 21710*G + 32768*B + 32768) // 65536)
+  Cr = min(255, (8388608 + 32768*R - 27439*G -  5329*B + 32768) // 65536)
+
+  R' = clamp((Y*65536 +  91881*(Cr-128)                 + 32768 + 16777216) // 65536 - 256)
+  G' = clamp((Y*65536 -  22554*(Cb-128) - 46802*(Cr-128) + 32768 + 16777216) // 65536 - 256)
+  B' = clamp((Y*65536 + 116130*(Cb-128)                 + 32768 + 16777216) // 65536 - 256)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+# ---------------------------------------------------------------------------
+# DCT: 8x8 orthonormal DCT-II matrix.  M[u, x] = 0.5 * c(u) * cos((2x+1)u pi/16)
+# with c(0) = 1/sqrt(2).  M is orthogonal, so FDCT = M s M^T, IDCT = M^T S M.
+# ---------------------------------------------------------------------------
+
+_DCT_M = np.zeros((8, 8))
+for _u in range(8):
+    _c = (0.5 ** 0.5) if _u == 0 else 1.0
+    for _x in range(8):
+        _DCT_M[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+_DCT_MT = _DCT_M.T.copy()
+
+
+def fdct2(block: np.ndarray) -> np.ndarray:
+    """Forward 2-D DCT of one level-shifted 8x8 block (float64)."""
+    return _DCT_M @ block @ _DCT_MT
+
+
+def idct2(coef: np.ndarray) -> np.ndarray:
+    """Inverse 2-D DCT of one 8x8 coefficient block (float64)."""
+    return _DCT_MT @ coef @ _DCT_M
+
+
+# Zigzag index k -> raster index within the 8x8 block (T.81 figure 5).
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ---------------------------------------------------------------------------
+# Huffman tables: the T.81 Annex K "typical" tables every real encoder
+# ships.  (bits[i] = #codes of length i+1, then the symbol list.)  The
+# decoder NEVER assumes these — it builds tables from the file's DHT
+# segments — but the synthesizer emits them so the blobs match
+# real-world JPEGs.
+# ---------------------------------------------------------------------------
+
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def build_huffman_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the bit-at-a-time decoder."""
+    return {(ln, code): sym for sym, (code, ln) in build_huffman_codes(bits, vals).items()}
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point colour conversion (the documented oracle contract).
+# All intermediate values are non-negative before the >>16 so Python
+# floor-division and DuckDB truncating-division agree.
+# ---------------------------------------------------------------------------
+
+
+def rgb_to_ycbcr(r: np.ndarray, g: np.ndarray, b: np.ndarray):
+    r = r.astype(np.int64)
+    g = g.astype(np.int64)
+    b = b.astype(np.int64)
+    y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+    cb = np.minimum(255, (8388608 - 11058 * r - 21710 * g + 32768 * b + 32768) >> 16)
+    cr = np.minimum(255, (8388608 + 32768 * r - 27439 * g - 5329 * b + 32768) >> 16)
+    return y, cb, cr
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+    y = y.astype(np.int64)
+    cbd = cb.astype(np.int64) - 128
+    crd = cr.astype(np.int64) - 128
+    bias = 32768 + 16777216
+
+    def fin(v):
+        return np.clip((v >> 16) - 256, 0, 255)
+
+    r = fin((y << 16) + 91881 * crd + bias)
+    g = fin((y << 16) - 22554 * cbd - 46802 * crd + bias)
+    b = fin((y << 16) + 116130 * cbd + bias)
+    return r, g, b
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    """MSB-first bit packer with JPEG byte stuffing (0xFF -> 0xFF 0x00)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                byte = self._acc
+                self.out.append(byte)
+                if byte == 0xFF:
+                    self.out.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def align_ones(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 F.1.2.3)."""
+        if self._n:
+            self.put((1 << (8 - self._n)) - 1, 8 - self._n)
+
+
+def _magnitude_size(v: int) -> int:
+    s = 0
+    v = abs(v)
+    while v:
+        s += 1
+        v >>= 1
+    return s
+
+
+def _encode_block(
+    writer: _BitWriter,
+    zz: list[int],
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Huffman-encode one zigzagged quantized block; returns the new DC
+    predictor.  Raises ValueError on coefficients outside baseline range."""
+    dc = zz[0]
+    diff = dc - pred
+    size = _magnitude_size(diff)
+    if size > 11:
+        raise ValueError("DC difference out of baseline range")
+    code, ln = dc_codes[size]
+    writer.put(code, ln)
+    if size:
+        writer.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zrl, zln = ac_codes[0xF0]
+            writer.put(zrl, zln)
+            run -= 16
+        size = _magnitude_size(v)
+        if size > 10:
+            raise ValueError("AC coefficient out of baseline range")
+        code, ln = ac_codes[(run << 4) | size]
+        writer.put(code, ln)
+        writer.put(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        eob, eln = ac_codes[0x00]
+        writer.put(eob, eln)
+    return dc
+
+
+def _quantize_block(pixels: np.ndarray, qtable: np.ndarray) -> list[int]:
+    """Level-shift, FDCT, quantize, zigzag one 8x8 uint8 block."""
+    coef = fdct2(pixels.astype(np.float64) - 128.0)
+    q = np.floor(coef / qtable + 0.5).astype(np.int64)
+    flat = q.reshape(64)
+    return [int(flat[ZIGZAG[k]]) for k in range(64)]
+
+
+def _dht_segment(tclass: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+    body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def encode_baseline_jpeg(
+    img: np.ndarray,
+    *,
+    luma_q: np.ndarray | None = None,
+    chroma_q: np.ndarray | None = None,
+    restart_interval: int = 0,
+    extra_segments: bytes = b"",
+) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
+    baseline JFIF JPEG.  Colour images use 4:2:0 subsampling (2x2
+    integer-mean chroma) — the layout virtually all camera/web JPEGs
+    use; grayscale is a single non-subsampled component.  Quant tables
+    default to all-1s (the exactness contract for constant blocks);
+    pass real tables for lossy realism.  ``restart_interval`` > 0 emits
+    DRI + RSTn markers every that-many MCUs.  ``extra_segments`` is
+    spliced between APP0 and DQT so tests can plant COM/APPn blocks the
+    decoder must skip."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    lq = np.ones((8, 8), np.int64) if luma_q is None else np.asarray(luma_q, np.int64)
+    cq = np.ones((8, 8), np.int64) if chroma_q is None else np.asarray(chroma_q, np.int64)
+    if (lq < 1).any() or (lq > 255).any() or (cq < 1).any() or (cq > 255).any():
+        raise ValueError("8-bit quant tables only")
+
+    mcu = 8 if gray else 16
+    mcux = (w + mcu - 1) // mcu
+    mcuy = (h + mcu - 1) // mcu
+    padw, padh = mcux * mcu, mcuy * mcu
+    if gray:
+        ypl = np.pad(img, ((0, padh - h), (0, padw - w)), mode="edge").astype(np.int64)
+        planes = [(ypl, lq, 1, 1)]
+    else:
+        padded = np.pad(img, ((0, padh - h), (0, padw - w), (0, 0)), mode="edge")
+        y, cb, cr = rgb_to_ycbcr(padded[:, :, 0], padded[:, :, 1], padded[:, :, 2])
+        # 4:2:0: integer mean of each 2x2 with round-half-up
+        def sub(p):
+            return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2) >> 2
+
+        planes = [(y, lq, 2, 2), (sub(cb), cq, 1, 1), (sub(cr), cq, 1, 1)]
+
+    dc_l = build_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = build_huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = build_huffman_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = build_huffman_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    comp_tables = [(dc_l, ac_l)] + [(dc_c, ac_c)] * 2
+
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_count = 0
+    rst_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                writer.align_ones()
+                writer.out += bytes([0xFF, 0xD0 + rst_idx])
+                rst_idx = (rst_idx + 1) & 7
+                preds = [0] * len(planes)
+            for ci, (plane, qt, hs, vs) in enumerate(planes):
+                dcc, acc = comp_tables[ci] if not gray else (dc_l, ac_l)
+                for by in range(vs):
+                    for bx in range(hs):
+                        py = (my * vs + by) * 8
+                        px = (mx * hs + bx) * 8
+                        block = plane[py : py + 8, px : px + 8]
+                        zz = _quantize_block(block, qt)
+                        preds[ci] = _encode_block(writer, zz, preds[ci], dcc, acc)
+            mcu_count += 1
+    writer.align_ones()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += extra_segments
+    zz_l = bytes(int(lq.reshape(64)[ZIGZAG[k]]) for k in range(64))
+    out += seg(0xDB, b"\x00" + zz_l)
+    if not gray:
+        zz_c = bytes(int(cq.reshape(64)[ZIGZAG[k]]) for k in range(64))
+        out += seg(0xDB, b"\x01" + zz_c)
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    if gray:
+        sof += bytes([1, 0x11, 0])
+    else:
+        sof += bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xC0, sof)
+    out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    sos += bytes([1, 0x00]) if gray else bytes([1, 0x00, 2, 0x11, 3, 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data: un-stuffs 0xFF00,
+    stops at any real marker, and surfaces RSTn boundaries."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+        self.marker: int | None = None  # pending non-RST marker
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.pos >= len(d):
+            return False
+        byte = d[self.pos]
+        if byte == 0xFF:
+            if self.pos + 1 >= len(d):
+                return False
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                return False  # restart marker: consumed via expect_restart
+            else:
+                self.marker = nxt
+                return False
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | byte
+        self._n += 8
+        return True
+
+    def read_bit(self) -> int | None:
+        if self._n == 0 and not self._fill():
+            return None
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive(self, n: int) -> int | None:
+        v = 0
+        for _ in range(n):
+            bit = self.read_bit()
+            if bit is None:
+                return None
+            v = (v << 1) | bit
+        return v
+
+    def expect_restart(self, idx: int) -> bool:
+        """Discard pad bits, consume RSTn, check the modulo-8 sequence."""
+        self._acc = 0
+        self._n = 0
+        d = self.data
+        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
+            return False
+        nxt = d[self.pos + 1]
+        if nxt != 0xD0 + (idx & 7):
+            return False
+        self.pos += 2
+        return True
+
+
+def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int | None:
+    code = 0
+    for ln in range(1, 17):
+        bit = reader.read_bit()
+        if bit is None:
+            return None
+        code = (code << 1) | bit
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def parse_jpeg(raw: bytes):
+    """Decode a baseline (SOF0) JFIF blob; returns (w, h, channels,
+    pixels) with pixels an (h, w, channels) uint8 ndarray (channels 1
+    or 3, RGB order), or None if the blob is not a decodable baseline
+    JPEG.  Handles: APPn/COM/unknown-segment skip, multi-table DQT
+    (8- and 16-bit precision), multi-table DHT, DRI + RSTn sequence
+    verification, byte stuffing, interleaved MCUs with per-component
+    sampling factors up to 2x2, and JFIF fixed-point colour
+    conversion.  Progressive (SOF2), arithmetic coding, 12-bit
+    precision and hierarchical modes return None."""
+    n = len(raw)
+    if n < 4 or raw[0] != 0xFF or raw[1] != 0xD8:
+        return None
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, [(cid, hs, vs, tq)])
+    restart_interval = 0
+    while pos + 4 <= n:
+        if raw[pos] != 0xFF:
+            return None
+        marker = raw[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            return None  # EOI before SOS
+        if pos + 2 > n:
+            return None
+        seglen = int.from_bytes(raw[pos : pos + 2], "big")
+        if seglen < 2 or pos + seglen > n:
+            return None
+        body = raw[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 0x0F
+                b += 1
+                cnt = 64 * (2 if prec else 1)
+                if b + cnt > len(body):
+                    return None
+                if prec:
+                    vals = [
+                        int.from_bytes(body[b + 2 * k : b + 2 * k + 2], "big")
+                        for k in range(64)
+                    ]
+                else:
+                    vals = list(body[b : b + 64])
+                tab = np.zeros(64, np.int64)
+                for k in range(64):
+                    tab[ZIGZAG[k]] = vals[k]
+                qtables[tid] = tab.reshape(8, 8)
+                b += cnt
+        elif marker == 0xC4:
+            b = 0
+            while b + 17 <= len(body):
+                tclass, tid = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                cnt = sum(bits)
+                if b + 17 + cnt > len(body):
+                    return None
+                vals = list(body[b + 17 : b + 17 + cnt])
+                htables[(tclass, tid)] = build_huffman_decoder(bits, vals)
+                b += 17 + cnt
+        elif marker == 0xC0:
+            if len(body) < 6 or body[0] != 8:
+                return None
+            fh = int.from_bytes(body[1:3], "big")
+            fw = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if ncomp not in (1, 3) or len(body) < 6 + 3 * ncomp or not fh or not fw:
+                return None
+            comps = []
+            for c in range(ncomp):
+                cid, sam, tq = body[6 + 3 * c : 9 + 3 * c]
+                hs, vs = sam >> 4, sam & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    return None
+                comps.append((cid, hs, vs, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame
+        elif marker == 0xDD:
+            if len(body) != 2:
+                return None
+            restart_interval = int.from_bytes(body, "big")
+        elif marker == 0xDA:
+            if frame is None or len(body) < 1:
+                return None
+            fh, fw, comps = frame
+            ns = body[0]
+            if len(body) != 1 + 2 * ns + 3 or ns != len(comps):
+                return None
+            scan: list[tuple[int, int, int, int, int]] = []  # hs, vs, tq, td, ta
+            for s in range(ns):
+                cs, tsel = body[1 + 2 * s], body[2 + 2 * s]
+                match = [c for c in comps if c[0] == cs]
+                if not match:
+                    return None
+                _, hs, vs, tq = match[0]
+                scan.append((hs, vs, tq, tsel >> 4, tsel & 0x0F))
+            pixels = _decode_scan(raw, pos + seglen, fh, fw, scan, qtables, htables, restart_interval)
+            if pixels is None:
+                return None
+            ch = 1 if ns == 1 else 3
+            return fw, fh, ch, pixels
+        pos += seglen
+    return None
+
+
+def _decode_scan(raw, pos, fh, fw, scan, qtables, htables, restart_interval):
+    hmax = max(s[0] for s in scan)
+    vmax = max(s[1] for s in scan)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for hs, vs, tq, td, ta in scan:
+        if tq not in qtables or (0, td) not in htables or (1, ta) not in htables:
+            return None
+        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8), np.int64))
+    reader = _BitReader(raw, pos)
+    preds = [0] * len(scan)
+    coef = np.zeros(64, np.int64)
+    mcu_count = 0
+    rst_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                if not reader.expect_restart(rst_idx):
+                    return None
+                rst_idx = (rst_idx + 1) & 7
+                preds = [0] * len(scan)
+            for ci, (hs, vs, tq, td, ta) in enumerate(scan):
+                dct = htables[(0, td)]
+                act = htables[(1, ta)]
+                qt = qtables[tq]
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef[:] = 0
+                        size = _decode_huff(reader, dct)
+                        if size is None or size > 11:
+                            return None
+                        if size:
+                            bitsv = reader.receive(size)
+                            if bitsv is None:
+                                return None
+                            preds[ci] += _extend(bitsv, size)
+                        coef[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_huff(reader, act)
+                            if sym is None:
+                                return None
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                return None
+                            bitsv = reader.receive(size)
+                            if bitsv is None:
+                                return None
+                            coef[ZIGZAG[k]] = _extend(bitsv, size)
+                            k += 1
+                        block = idct2((coef.reshape(8, 8) * qt).astype(np.float64))
+                        out = np.clip(np.floor(block + 128.5), 0, 255).astype(np.int64)
+                        py = (my * vs + by) * 8
+                        px = (mx * hs + bx) * 8
+                        planes[ci][py : py + 8, px : px + 8] = out
+            mcu_count += 1
+    if len(scan) == 1:
+        return planes[0][:fh, :fw].astype(np.uint8)[:, :, None]
+    # upsample chroma by replication to the luma grid, then convert
+    full = []
+    for ci, (hs, vs, _, _, _) in enumerate(scan):
+        p = planes[ci]
+        if hs != hmax:
+            p = np.repeat(p, hmax // hs, axis=1)
+        if vs != vmax:
+            p = np.repeat(p, vmax // vs, axis=0)
+        full.append(p[:fh, :fw])
+    r, g, b = ycbcr_to_rgb(full[0], full[1], full[2])
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Synthesizer for the oracle entry: constant-per-MCU colour images.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_dims(media_id: int) -> tuple[int, int]:
+    return 16 + media_id % 5 * 7, 16 + media_id % 4 * 9  # w in 16..44, h in 16..43
+
+
+def _mcu_rgb(media_id: int, my: int, mx: int) -> tuple[int, int, int]:
+    d = hashlib.md5(f"{media_id}:j{my}:{mx}".encode()).digest()
+    return d[0], d[1], d[2]
+
+
+def synth_jpeg_bytes(media_id: int) -> bytes:
+    """A real baseline JFIF blob from an integer id: w = 16 + id%5*7,
+    h = 16 + id%4*9 (non-multiples of 16 exercise edge padding), RGB
+    constant per 16x16 MCU from md5(id:jmy:mx) (analytically mirrored
+    by the DuckDB oracle), quant tables all 1s (the constant-block
+    exactness contract), a COM segment the parser must skip, and a
+    2-MCU restart interval for ids with id % 3 == 0 so RSTn handling
+    is exercised inside the driver-checked entry."""
+    w, h = _jpeg_dims(media_id)
+    mcux = (w + 15) // 16
+    mcuy = (h + 15) // 16
+    img = np.zeros((mcuy * 16, mcux * 16, 3), np.uint8)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            img[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = _mcu_rgb(media_id, my, mx)
+    return encode_baseline_jpeg(
+        img[:h, :w],
+        restart_interval=2 if media_id % 3 == 0 else 0,
+        extra_segments=b"\xff\xfe\x00\x0bsynthetic",
+    )
+
+
+JPEG_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean_r_milli", LongType()),
+        StructField("mean_g_milli", LongType()),
+        StructField("mean_b_milli", LongType()),
+        StructField("tl_r", IntegerType()),
+        StructField("tl_g", IntegerType()),
+        StructField("tl_b", IntegerType()),
+        StructField("is_valid", IntegerType()),
+    ]
+)
+
+
+def _jpeg_synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": [int(m) for m in pdf["media_id"]],
+                "blob": [synth_jpeg_bytes(int(m)) for m in pdf["media_id"]],
+            }
+        )
+
+
+def synth_jpeg(df: DataFrame, id_col: str) -> DataFrame:
+    """(media_id, blob) with a real baseline JPEG per id (Arrow-batched
+    mapInPandas, same shape as synth_png/synth_gif)."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    return src.mapInPandas(_jpeg_synth_batches, schema="media_id long, blob binary")
+
+
+def _jpeg_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {f.name: [] for f in JPEG_DECODE_SCHEMA.fields}
+        for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+            parsed = parse_jpeg(bytes(blob))
+            out["media_id"].append(int(mid))
+            if parsed is None:
+                for k in out:
+                    if k not in ("media_id", "is_valid"):
+                        out[k].append(None)
+                out["is_valid"].append(0)
+                continue
+            w, h, ch, px = parsed
+            npx = w * h
+            sums = px.astype(np.int64).sum(axis=(0, 1))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["channels"].append(ch)
+            out["mean_r_milli"].append(int(sums[0]) * 1000 // npx)
+            out["mean_g_milli"].append(int(sums[min(1, ch - 1)]) * 1000 // npx)
+            out["mean_b_milli"].append(int(sums[min(2, ch - 1)]) * 1000 // npx)
+            out["tl_r"].append(int(px[0, 0, 0]))
+            out["tl_g"].append(int(px[0, 0, min(1, ch - 1)]))
+            out["tl_b"].append(int(px[0, 0, min(2, ch - 1)]))
+            out["is_valid"].append(1)
+        yield pd.DataFrame(out)
+
+
+def decode_jpeg(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """REAL baseline-JPEG pixel decode (Arrow-batched mapInPandas):
+    marker walk + Huffman + dequant + IDCT + 4:2:0 upsample + fixed-
+    point colour conversion, then per-channel means and the top-left
+    pixel — the same stats contract as decode_png/decode_gif."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
+    )
+    return src.mapInPandas(_jpeg_decode_batches, schema=JPEG_DECODE_SCHEMA)

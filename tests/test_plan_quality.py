@@ -96,7 +96,12 @@ def test_codec_entries_are_single_pass_no_shuffle(spark):
     import __spark_entry__ as entrymod
 
     qs = entrymod.all_queries()
-    for name in ("extract_pdf_text", "multimodal_png_decode", "multimodal_gif_decode"):
+    for name in (
+        "extract_pdf_text",
+        "multimodal_png_decode",
+        "multimodal_gif_decode",
+        "multimodal_jpeg_decode",
+    ):
         plan = _formatted_plan(qs[name](spark, "/root/testdata/sf0.001"))
         assert "MapInPandas" in plan or "ArrowEvalPython" in plan, (name, plan)
         assert "BatchEvalPython" not in plan, (name, plan)
