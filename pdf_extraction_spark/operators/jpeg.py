@@ -42,6 +42,7 @@ toward zero while Python's floors):
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 from typing import Iterator
 
 import numpy as np
@@ -147,8 +148,8 @@ AC_CHROMA_VALS = [
 ]
 
 
-def build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+@lru_cache(maxsize=64)
+def _codes_cached(bits: bytes, vals: bytes) -> dict[int, tuple[int, int]]:
     codes: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
@@ -161,9 +162,29 @@ def build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int
     return codes
 
 
-def build_huffman_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for the bit-at-a-time decoder."""
-    return {(ln, code): sym for sym, (code, ln) in build_huffman_codes(bits, vals).items()}
+def build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    return _codes_cached(bytes(bits), bytes(vals))
+
+
+@lru_cache(maxsize=64)
+def _decode_lut(bits: bytes, vals: bytes) -> list[int]:
+    """65536-entry lookup for 16-bit-peek Huffman decoding: index with the
+    next 16 bits of the stream, get (length << 8) | symbol (0 = invalid
+    prefix).  Built once per distinct table (cached), so per-image DHT
+    parsing costs a dict probe, not a table rebuild."""
+    lut = [0] * 65536
+    for sym, (code, ln) in _codes_cached(bits, vals).items():
+        base = code << (16 - ln)
+        packed = (ln << 8) | sym
+        for i in range(base, base + (1 << (16 - ln))):
+            lut[i] = packed
+    return lut
+
+
+def build_huffman_decoder(bits: list[int], vals: list[int]) -> list[int]:
+    """Decoder table for one DHT definition (the 16-bit-peek LUT)."""
+    return _decode_lut(bytes(bits), bytes(vals))
 
 
 # ---------------------------------------------------------------------------
@@ -212,16 +233,15 @@ class _BitWriter:
         self._n = 0
 
     def put(self, value: int, nbits: int) -> None:
-        for i in range(nbits - 1, -1, -1):
-            self._acc = (self._acc << 1) | ((value >> i) & 1)
-            self._n += 1
-            if self._n == 8:
-                byte = self._acc
-                self.out.append(byte)
-                if byte == 0xFF:
-                    self.out.append(0x00)
-                self._acc = 0
-                self._n = 0
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self._acc &= (1 << self._n) - 1
 
     def align_ones(self) -> None:
         """Pad to a byte boundary with 1-bits (T.81 F.1.2.3)."""
@@ -279,12 +299,31 @@ def _encode_block(
     return dc
 
 
+_ZZ_ARR = np.array(ZIGZAG)
+
+
 def _quantize_block(pixels: np.ndarray, qtable: np.ndarray) -> list[int]:
     """Level-shift, FDCT, quantize, zigzag one 8x8 uint8 block."""
     coef = fdct2(pixels.astype(np.float64) - 128.0)
     q = np.floor(coef / qtable + 0.5).astype(np.int64)
     flat = q.reshape(64)
     return [int(flat[ZIGZAG[k]]) for k in range(64)]
+
+
+def _quantize_plane(plane: np.ndarray, qtable: np.ndarray) -> list[list[int]]:
+    """Batched _quantize_block over a padded plane: one einsum FDCT for
+    every 8x8 block, returning zigzagged coefficient rows in raster
+    block order (row-major (by, bx))."""
+    ph, pw = plane.shape
+    blocks = (
+        plane.astype(np.float64).reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        - 128.0
+    )
+    # batched FDCT  M b M^T  via two broadcasted matmuls (no einsum —
+    # its per-call path search costs more than the 8x8 contraction)
+    coef = np.matmul(np.matmul(_DCT_M, blocks.reshape(-1, 8, 8)), _DCT_MT)
+    q = np.floor(coef / qtable + 0.5).astype(np.int64)
+    return q.reshape(-1, 64)[:, _ZZ_ARR].tolist()
 
 
 def _dht_segment(tclass: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
@@ -341,6 +380,9 @@ def encode_baseline_jpeg(
     ac_c = build_huffman_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
     comp_tables = [(dc_l, ac_l)] + [(dc_c, ac_c)] * 2
 
+    # quantize every block of every plane in one batched FDCT per plane,
+    # then walk MCUs emitting the entropy-coded stream
+    quantized = [_quantize_plane(plane, qt) for plane, qt, _, _ in planes]
     writer = _BitWriter()
     preds = [0] * len(planes)
     mcu_count = 0
@@ -354,12 +396,10 @@ def encode_baseline_jpeg(
                 preds = [0] * len(planes)
             for ci, (plane, qt, hs, vs) in enumerate(planes):
                 dcc, acc = comp_tables[ci] if not gray else (dc_l, ac_l)
+                nbx = plane.shape[1] // 8
                 for by in range(vs):
                     for bx in range(hs):
-                        py = (my * vs + by) * 8
-                        px = (mx * hs + bx) * 8
-                        block = plane[py : py + 8, px : px + 8]
-                        zz = _quantize_block(block, qt)
+                        zz = quantized[ci][(my * vs + by) * nbx + (mx * hs + bx)]
                         preds[ci] = _encode_block(writer, zz, preds[ci], dcc, acc)
             mcu_count += 1
     writer.align_ones()
@@ -405,7 +445,9 @@ def encode_baseline_jpeg(
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data: un-stuffs 0xFF00,
-    stops at any real marker, and surfaces RSTn boundaries."""
+    stops at any real marker, and surfaces RSTn boundaries.  Huffman
+    decoding peeks 16 bits and resolves symbols through the cached LUT
+    in one probe instead of walking the code bit by bit."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -443,13 +485,29 @@ class _BitReader:
         return (self._acc >> self._n) & 1
 
     def receive(self, n: int) -> int | None:
-        v = 0
-        for _ in range(n):
-            bit = self.read_bit()
-            if bit is None:
+        while self._n < n:
+            if not self._fill():
                 return None
-            v = (v << 1) | bit
-        return v
+        self._n -= n
+        return (self._acc >> self._n) & ((1 << n) - 1)
+
+    def decode_huff(self, lut: list[int]) -> int | None:
+        while self._n < 16:
+            if not self._fill():
+                break
+        avail = self._n
+        if avail == 0:
+            return None
+        if avail >= 16:
+            peek = (self._acc >> (avail - 16)) & 0xFFFF
+        else:
+            peek = (self._acc << (16 - avail)) & 0xFFFF
+        packed = lut[peek]
+        ln = packed >> 8
+        if ln == 0 or ln > avail:
+            return None
+        self._n -= ln
+        return packed & 0xFF
 
     def expect_restart(self, idx: int) -> bool:
         """Discard pad bits, consume RSTn, check the modulo-8 sequence."""
@@ -463,19 +521,6 @@ class _BitReader:
             return False
         self.pos += 2
         return True
-
-
-def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int | None:
-    code = 0
-    for ln in range(1, 17):
-        bit = reader.read_bit()
-        if bit is None:
-            return None
-        code = (code << 1) | bit
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    return None
 
 
 def _extend(v: int, size: int) -> int:
@@ -600,16 +645,18 @@ def _decode_scan(raw, pos, fh, fw, scan, qtables, htables, restart_interval):
     vmax = max(s[1] for s in scan)
     mcux = (fw + 8 * hmax - 1) // (8 * hmax)
     mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
-    planes = []
+    # one flat coefficient row per 8x8 block, in (my, mx, by, bx) order;
+    # dequant + IDCT + clamp run BATCHED per component after the scan
+    coefs: list[list[list[int]]] = []
     for hs, vs, tq, td, ta in scan:
         if tq not in qtables or (0, td) not in htables or (1, ta) not in htables:
             return None
-        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8), np.int64))
+        coefs.append([])
     reader = _BitReader(raw, pos)
     preds = [0] * len(scan)
-    coef = np.zeros(64, np.int64)
     mcu_count = 0
     rst_idx = 0
+    zz = ZIGZAG
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
@@ -620,44 +667,51 @@ def _decode_scan(raw, pos, fh, fw, scan, qtables, htables, restart_interval):
             for ci, (hs, vs, tq, td, ta) in enumerate(scan):
                 dct = htables[(0, td)]
                 act = htables[(1, ta)]
-                qt = qtables[tq]
-                for by in range(vs):
-                    for bx in range(hs):
-                        coef[:] = 0
-                        size = _decode_huff(reader, dct)
-                        if size is None or size > 11:
+                for _ in range(vs * hs):
+                    coef = [0] * 64
+                    size = reader.decode_huff(dct)
+                    if size is None or size > 11:
+                        return None
+                    if size:
+                        bitsv = reader.receive(size)
+                        if bitsv is None:
                             return None
-                        if size:
-                            bitsv = reader.receive(size)
-                            if bitsv is None:
-                                return None
-                            preds[ci] += _extend(bitsv, size)
-                        coef[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            sym = _decode_huff(reader, act)
-                            if sym is None:
-                                return None
-                            run, size = sym >> 4, sym & 0x0F
-                            if size == 0:
-                                if run == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                return None
-                            bitsv = reader.receive(size)
-                            if bitsv is None:
-                                return None
-                            coef[ZIGZAG[k]] = _extend(bitsv, size)
-                            k += 1
-                        block = idct2((coef.reshape(8, 8) * qt).astype(np.float64))
-                        out = np.clip(np.floor(block + 128.5), 0, 255).astype(np.int64)
-                        py = (my * vs + by) * 8
-                        px = (mx * hs + bx) * 8
-                        planes[ci][py : py + 8, px : px + 8] = out
+                        preds[ci] += _extend(bitsv, size)
+                    coef[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        sym = reader.decode_huff(act)
+                        if sym is None:
+                            return None
+                        run, size = sym >> 4, sym & 0x0F
+                        if size == 0:
+                            if run == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            return None
+                        bitsv = reader.receive(size)
+                        if bitsv is None:
+                            return None
+                        coef[zz[k]] = _extend(bitsv, size)
+                        k += 1
+                    coefs[ci].append(coef)
             mcu_count += 1
+    planes = []
+    for ci, (hs, vs, tq, td, ta) in enumerate(scan):
+        c = np.asarray(coefs[ci], np.float64).reshape(-1, 8, 8) * qtables[tq]
+        # batched IDCT  M^T C M  via two broadcasted matmuls
+        px = np.matmul(np.matmul(_DCT_MT, c), _DCT_M)
+        px = np.clip(np.floor(px + 128.5), 0, 255).astype(np.int64)
+        # (my, mx, by, bx, 8, 8) -> rows (my, by, u), cols (mx, bx, v)
+        plane = (
+            px.reshape(mcuy, mcux, vs, hs, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * vs * 8, mcux * hs * 8)
+        )
+        planes.append(plane)
     if len(scan) == 1:
         return planes[0][:fh, :fw].astype(np.uint8)[:, :, None]
     # upsample chroma by replication to the luma grid, then convert
