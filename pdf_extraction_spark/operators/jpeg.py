@@ -264,9 +264,13 @@ def _encode_block(
     pred: int,
     dc_codes: dict[int, tuple[int, int]],
     ac_codes: dict[int, tuple[int, int]],
+    last_nz: int = 63,
 ) -> int:
     """Huffman-encode one zigzagged quantized block; returns the new DC
-    predictor.  Raises ValueError on coefficients outside baseline range."""
+    predictor.  ``last_nz`` is the index of the last nonzero AC entry
+    (0 = DC-only), precomputed vectorized by _quantize_plane so the
+    common smooth/DC-only block skips the 64-entry scan.  Raises
+    ValueError on coefficients outside baseline range."""
     dc = zz[0]
     diff = dc - pred
     size = _magnitude_size(diff)
@@ -277,7 +281,7 @@ def _encode_block(
     if size:
         writer.put(diff if diff > 0 else diff + (1 << size) - 1, size)
     run = 0
-    for k in range(1, 64):
+    for k in range(1, last_nz + 1):
         v = zz[k]
         if v == 0:
             run += 1
@@ -293,7 +297,7 @@ def _encode_block(
         writer.put(code, ln)
         writer.put(v if v > 0 else v + (1 << size) - 1, size)
         run = 0
-    if run:
+    if run or last_nz < 63:
         eob, eln = ac_codes[0x00]
         writer.put(eob, eln)
     return dc
@@ -310,10 +314,12 @@ def _quantize_block(pixels: np.ndarray, qtable: np.ndarray) -> list[int]:
     return [int(flat[ZIGZAG[k]]) for k in range(64)]
 
 
-def _quantize_plane(plane: np.ndarray, qtable: np.ndarray) -> list[list[int]]:
-    """Batched _quantize_block over a padded plane: one einsum FDCT for
-    every 8x8 block, returning zigzagged coefficient rows in raster
-    block order (row-major (by, bx))."""
+def _quantize_plane(
+    plane: np.ndarray, qtable: np.ndarray
+) -> tuple[list[list[int]], list[int]]:
+    """Batched _quantize_block over a padded plane: one FDCT for every
+    8x8 block, returning (zigzagged coefficient rows, last-nonzero
+    index per row) in raster block order (row-major (by, bx))."""
     ph, pw = plane.shape
     blocks = (
         plane.astype(np.float64).reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
@@ -323,7 +329,10 @@ def _quantize_plane(plane: np.ndarray, qtable: np.ndarray) -> list[list[int]]:
     # its per-call path search costs more than the 8x8 contraction)
     coef = np.matmul(np.matmul(_DCT_M, blocks.reshape(-1, 8, 8)), _DCT_MT)
     q = np.floor(coef / qtable + 0.5).astype(np.int64)
-    return q.reshape(-1, 64)[:, _ZZ_ARR].tolist()
+    qz = q.reshape(-1, 64)[:, _ZZ_ARR]
+    nz = qz != 0
+    last_nz = np.where(nz[:, 1:].any(axis=1), 63 - np.argmax(nz[:, :0:-1], axis=1), 0)
+    return qz.tolist(), last_nz.tolist()
 
 
 def _dht_segment(tclass: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
@@ -396,13 +405,38 @@ def encode_baseline_jpeg(
                 preds = [0] * len(planes)
             for ci, (plane, qt, hs, vs) in enumerate(planes):
                 dcc, acc = comp_tables[ci] if not gray else (dc_l, ac_l)
+                rows, lasts = quantized[ci]
                 nbx = plane.shape[1] // 8
                 for by in range(vs):
                     for bx in range(hs):
-                        zz = quantized[ci][(my * vs + by) * nbx + (mx * hs + bx)]
-                        preds[ci] = _encode_block(writer, zz, preds[ci], dcc, acc)
+                        n = (my * vs + by) * nbx + (mx * hs + bx)
+                        preds[ci] = _encode_block(
+                            writer, rows[n], preds[ci], dcc, acc, lasts[n]
+                        )
             mcu_count += 1
     writer.align_ones()
+
+    header = _header_bytes(
+        h, w, gray, lq.tobytes(), cq.tobytes(), restart_interval, extra_segments
+    )
+    return header + bytes(writer.out) + b"\xff\xd9"  # EOI
+
+
+@lru_cache(maxsize=256)
+def _header_bytes(
+    h: int,
+    w: int,
+    gray: bool,
+    lq_raw: bytes,
+    cq_raw: bytes,
+    restart_interval: int,
+    extra_segments: bytes,
+) -> bytes:
+    """Everything before the entropy-coded data (SOI..SOS).  Depends only
+    on dims/tables/restart/extras, so a synth fleet hitting the same few
+    combinations builds each preamble once."""
+    lq = np.frombuffer(lq_raw, np.int64).reshape(8, 8)
+    cq = np.frombuffer(cq_raw, np.int64).reshape(8, 8)
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
@@ -433,8 +467,6 @@ def encode_baseline_jpeg(
     sos += bytes([1, 0x00]) if gray else bytes([1, 0x00, 2, 0x11, 3, 0x11])
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
-    out += writer.out
-    out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
