@@ -155,6 +155,11 @@ def _codes_cached(bits: bytes, vals: bytes) -> dict[int, tuple[int, int]]:
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                # more codes than the canonical space holds (violates
+                # Kraft): a corrupt DHT must fail parse, not crash the
+                # LUT build with an out-of-range index
+                raise ValueError("invalid Huffman code counts")
             codes[vals[k]] = (code, length)
             code += 1
             k += 1
@@ -486,7 +491,6 @@ class _BitReader:
         self.pos = pos
         self._acc = 0
         self._n = 0
-        self.marker: int | None = None  # pending non-RST marker
 
     def _fill(self) -> bool:
         d = self.data
@@ -502,8 +506,7 @@ class _BitReader:
             elif 0xD0 <= nxt <= 0xD7:
                 return False  # restart marker: consumed via expect_restart
             else:
-                self.marker = nxt
-                return False
+                return False  # real marker (EOI/next segment): scan is over
         else:
             self.pos += 1
         self._acc = (self._acc << 8) | byte
@@ -624,7 +627,10 @@ def parse_jpeg(raw: bytes):
                 if b + 17 + cnt > len(body):
                     return None
                 vals = list(body[b + 17 : b + 17 + cnt])
-                htables[(tclass, tid)] = build_huffman_decoder(bits, vals)
+                try:
+                    htables[(tclass, tid)] = build_huffman_decoder(bits, vals)
+                except ValueError:
+                    return None  # non-canonical code counts
                 b += 17 + cnt
         elif marker == 0xC0:
             if len(body) < 6 or body[0] != 8:

@@ -321,6 +321,19 @@ def test_rejects_truncation_garbage_and_progressive():
     assert parse_jpeg(blob[:i] + b"\xff\xc2" + blob[i + 2 :]) is None
 
 
+def test_malformed_dht_rejected_not_crashed():
+    # a DHT whose code counts violate Kraft (3 codes of length 1) must
+    # fail the parse cleanly — a naive canonical build would index past
+    # the 16-bit LUT and crash the task instead of containing the error
+    blob = synth_jpeg_bytes(4)
+    i = blob.index(b"\xff\xc4")
+    seglen = int.from_bytes(blob[i + 2 : i + 4], "big")
+    body = bytearray(blob[i + 4 : i + 2 + seglen])
+    body[1] = 3  # bits[0] = 3 -> only 2 length-1 codes exist
+    patched = blob[: i + 4] + bytes(body) + blob[i + 2 + seglen :]
+    assert parse_jpeg(patched) is None
+
+
 def test_corrupted_restart_sequence_rejected():
     blob = synth_jpeg_bytes(18)  # 9 MCUs, interval 2 -> RSTn markers
     i = blob.index(b"\xff\xd0")
