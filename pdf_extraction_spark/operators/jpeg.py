@@ -563,24 +563,27 @@ def _extend(v: int, size: int) -> int:
 
 
 def parse_jpeg(raw: bytes):
-    """Decode a baseline (SOF0) JFIF blob; returns (w, h, channels,
-    pixels) with pixels an (h, w, channels) uint8 ndarray (channels 1
-    or 3, RGB order), or None if the blob is not a decodable baseline
-    JPEG.  Handles: APPn/COM/unknown-segment skip, multi-table DQT
-    (8- and 16-bit precision), multi-table DHT, DRI + RSTn sequence
+    """Decode a baseline (SOF0) or progressive (SOF2) JFIF blob;
+    returns (w, h, channels, pixels) with pixels an (h, w, channels)
+    uint8 ndarray (channels 1 or 3, RGB order), or None if the blob is
+    not decodable.  Handles: APPn/COM/unknown-segment skip, multi-table
+    DQT (8- and 16-bit precision), multi-table DHT, DRI + RSTn sequence
     verification, byte stuffing, interleaved MCUs with per-component
     sampling factors up to 2x2, and JFIF fixed-point colour
-    conversion.  Progressive (SOF2), arithmetic coding, 12-bit
-    precision and hierarchical modes return None."""
+    conversion.  Progressive frames decode through the multi-scan path
+    (spectral selection + successive approximation, EOBn runs, AC
+    refinement — see _decode_progressive_scan).  Arithmetic coding,
+    12-bit precision and hierarchical modes return None."""
     n = len(raw)
     if n < 4 or raw[0] != 0xFF or raw[1] != 0xD8:
         return None
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    frame = None  # (h, w, [(cid, hs, vs, tq)])
+    htables: dict[tuple[int, int], list[int]] = {}
+    frame = None  # (h, w, [(cid, hs, vs, tq)], progressive)
+    store = None  # progressive coefficient accumulators, one per component
     restart_interval = 0
-    while pos + 4 <= n:
+    while pos + 2 <= n:  # EOI is bare (no length), so 2 bytes suffice
         if raw[pos] != 0xFF:
             return None
         marker = raw[pos + 1]
@@ -591,6 +594,8 @@ def parse_jpeg(raw: bytes):
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:
+            if store is not None:  # progressive: EOI closes the scan series
+                return _finalize_progressive(frame, store, qtables)
             return None  # EOI before SOS
         if pos + 2 > n:
             return None
@@ -632,7 +637,7 @@ def parse_jpeg(raw: bytes):
                 except ValueError:
                     return None  # non-canonical code counts
                 b += 17 + cnt
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
             if len(body) < 6 or body[0] != 8:
                 return None
             fh = int.from_bytes(body[1:3], "big")
@@ -647,9 +652,9 @@ def parse_jpeg(raw: bytes):
                 if hs not in (1, 2) or vs not in (1, 2):
                     return None
                 comps.append((cid, hs, vs, tq))
-            frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline frame
+            frame = (fh, fw, comps, marker == 0xC2)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline/non-progressive frame
         elif marker == 0xDD:
             if len(body) != 2:
                 return None
@@ -657,18 +662,37 @@ def parse_jpeg(raw: bytes):
         elif marker == 0xDA:
             if frame is None or len(body) < 1:
                 return None
-            fh, fw, comps = frame
+            fh, fw, comps, progressive = frame
             ns = body[0]
-            if len(body) != 1 + 2 * ns + 3 or ns != len(comps):
+            if len(body) != 1 + 2 * ns + 3 or ns > len(comps) or ns < 1:
                 return None
-            scan: list[tuple[int, int, int, int, int]] = []  # hs, vs, tq, td, ta
+            scan_ci: list[int] = []  # frame-component index per scan component
+            tsels: list[tuple[int, int]] = []
             for s in range(ns):
                 cs, tsel = body[1 + 2 * s], body[2 + 2 * s]
-                match = [c for c in comps if c[0] == cs]
+                match = [i for i, c in enumerate(comps) if c[0] == cs]
                 if not match:
                     return None
-                _, hs, vs, tq = match[0]
-                scan.append((hs, vs, tq, tsel >> 4, tsel & 0x0F))
+                scan_ci.append(match[0])
+                tsels.append((tsel >> 4, tsel & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if progressive:
+                if store is None:
+                    store = _progressive_store(fh, fw, comps)
+                pos = _decode_progressive_scan(
+                    raw, pos + seglen, fh, fw, comps, scan_ci, tsels,
+                    ss, se, ah, al, store, htables, restart_interval,
+                )
+                if pos is None:
+                    return None
+                continue
+            if ns != len(comps):
+                return None
+            scan = []  # hs, vs, tq, td, ta
+            for ci, (td, ta) in zip(scan_ci, tsels):
+                _, hs, vs, tq = comps[ci]
+                scan.append((hs, vs, tq, td, ta))
             pixels = _decode_scan(raw, pos + seglen, fh, fw, scan, qtables, htables, restart_interval)
             if pixels is None:
                 return None
@@ -750,12 +774,261 @@ def _decode_scan(raw, pos, fh, fw, scan, qtables, htables, restart_interval):
             .reshape(mcuy * vs * 8, mcux * hs * 8)
         )
         planes.append(plane)
-    if len(scan) == 1:
+    return _assemble_pixels(planes, [(s[0], s[1]) for s in scan], fh, fw)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decode: coefficients accumulate across scans —
+# spectral selection picks a zigzag band per scan, successive
+# approximation delivers them a bit layer at a time (T.81 Annex G).
+# The entropy layer is the hard part: AC first scans use EOBn run
+# lengths across whole blocks; AC refinement scans interleave
+# correction bits for already-nonzero coefficients with the
+# newly-significant ones.  This port follows the reference algorithm
+# structure of T.81 G.2 (the same one libjpeg implements).
+# ---------------------------------------------------------------------------
+
+
+def _progressive_store(fh, fw, comps):
+    """Per-component coefficient accumulators over the PADDED
+    interleaved grid (natural order per 64-row), plus grid geometry:
+    (array, bw, bh, nbx, nby) — bw/bh the padded grid, nbx/nby the
+    non-interleaved block counts that single-component scans cover."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    store = []
+    for cid, hs, vs, tq in comps:
+        bw, bh = mcux * hs, mcuy * vs
+        compw = (fw * hs + hmax - 1) // hmax
+        comph = (fh * vs + vmax - 1) // vmax
+        nbx, nby = (compw + 7) // 8, (comph + 7) // 8
+        store.append((np.zeros((bh * bw, 64), np.int64), bw, bh, nbx, nby))
+    return store
+
+
+def _refine_nonzero(reader, row, z, p1, m1):
+    """Read one correction bit for an already-nonzero coefficient and
+    apply it toward larger magnitude (T.81 G.1.2.3 / G.2)."""
+    bit = reader.read_bit()
+    if bit is None:
+        return False
+    if bit and (row[z] & p1) == 0:
+        row[z] += p1 if row[z] >= 0 else m1
+    return True
+
+
+def _decode_progressive_scan(
+    raw, pos, fh, fw, comps, scan_ci, tsels, ss, se, ah, al, store, htables, restart_interval
+):
+    """Decode one SOS of a progressive frame into the coefficient
+    store; returns the byte offset of the next marker, or None."""
+    if ss == 0:
+        if se != 0:
+            return None
+        dc_scan = True
+    else:
+        if se < ss or se > 63 or len(scan_ci) != 1:
+            return None
+        dc_scan = False
+    if al > 13 or (ah and ah != al + 1):
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    reader = _BitReader(raw, pos)
+    zz = ZIGZAG
+    p1, m1 = 1 << al, -(1 << al)
+
+    # build the per-scan-component work list: (coef array, grid width,
+    # blocks-per-MCU geometry, huffman tables)
+    work = []
+    for ci, (td, ta) in zip(scan_ci, tsels):
+        arr, bw, bh, nbx, nby = store[ci]
+        _, hs, vs, tq = comps[ci]
+        if dc_scan and ah == 0 and (0, td) not in htables:
+            return None
+        if not dc_scan and (1, ta) not in htables:
+            return None
+        work.append((arr, bw, hs, vs, nbx, nby,
+                     htables.get((0, td)), htables.get((1, ta))))
+
+    interleaved = len(scan_ci) > 1
+    preds = [0] * len(scan_ci)
+    eobrun = 0
+    unit = 0  # MCU counter (interleaved) or block counter (single comp)
+    rst_idx = 0
+
+    def restart_boundary():
+        nonlocal rst_idx, preds, eobrun
+        if not reader.expect_restart(rst_idx):
+            return False
+        rst_idx = (rst_idx + 1) & 7
+        preds = [0] * len(scan_ci)
+        eobrun = 0
+        return True
+
+    if dc_scan:
+        units = (
+            [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+            if interleaved
+            else [(by, bx) for by in range(work[0][5]) for bx in range(work[0][4])]
+        )
+        for uy, ux in units:
+            if restart_interval and unit and unit % restart_interval == 0:
+                if not restart_boundary():
+                    return None
+            for wi, (arr, bw, hs, vs, nbx, nby, dct, act) in enumerate(work):
+                blocks = (
+                    [((uy * vs + by) * bw + (ux * hs + bx))
+                     for by in range(vs) for bx in range(hs)]
+                    if interleaved
+                    else [uy * bw + ux]
+                )
+                for idx in blocks:
+                    if ah == 0:  # DC first: baseline-style diff of dc >> al
+                        size = reader.decode_huff(dct)
+                        if size is None or size > 11:
+                            return None
+                        if size:
+                            bitsv = reader.receive(size)
+                            if bitsv is None:
+                                return None
+                            preds[wi] += _extend(bitsv, size)
+                        arr[idx, 0] = preds[wi] << al
+                    else:  # DC refinement: one raw bit per block
+                        bit = reader.read_bit()
+                        if bit is None:
+                            return None
+                        if bit:
+                            arr[idx, 0] |= p1
+            unit += 1
+    else:
+        arr, bw, hs, vs, nbx, nby, dct, act = work[0]
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    if not restart_boundary():
+                        return None
+                unit += 1
+                row = arr[by * bw + bx]
+                if ah == 0:  # AC first scan (T.81 G.2.2)
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = reader.decode_huff(act)
+                        if sym is None:
+                            return None
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    bitsv = reader.receive(r)
+                                    if bitsv is None:
+                                        return None
+                                    eobrun += bitsv
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            return None
+                        bitsv = reader.receive(s)
+                        if bitsv is None:
+                            return None
+                        row[zz[k]] = _extend(bitsv, s) << al
+                        k += 1
+                else:  # AC refinement scan (T.81 G.2.3)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = reader.decode_huff(act)
+                            if sym is None:
+                                return None
+                            r, s = sym >> 4, sym & 0x0F
+                            val = 0
+                            if s == 0:
+                                if r != 15:
+                                    # unlike the first-scan form there is
+                                    # no -1: the CURRENT block consumes one
+                                    # run slot via the correction-bit tail
+                                    eobrun = 1 << r
+                                    if r:
+                                        bitsv = reader.receive(r)
+                                        if bitsv is None:
+                                            return None
+                                        eobrun += bitsv
+                                    break
+                                # ZRL: skip 16 zero-history coefficients
+                            else:
+                                if s != 1:
+                                    return None
+                                bit = reader.read_bit()
+                                if bit is None:
+                                    return None
+                                val = p1 if bit else m1
+                            while k <= se:
+                                z = zz[k]
+                                if row[z] != 0:
+                                    if not _refine_nonzero(reader, row, z, p1, m1):
+                                        return None
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                row[zz[k]] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            z = zz[k]
+                            if row[z] != 0:
+                                if not _refine_nonzero(reader, row, z, p1, m1):
+                                    return None
+                            k += 1
+                        eobrun -= 1
+    # skip the pad bits and land on the next marker for the outer walk
+    pos = reader.pos
+    n = len(raw)
+    while pos < n and raw[pos] != 0xFF:
+        pos += 1
+    return pos
+
+
+def _finalize_progressive(frame, store, qtables):
+    fh, fw, comps, _ = frame
+    planes = []
+    factors = []
+    for (cid, hs, vs, tq), (arr, bw, bh, nbx, nby) in zip(comps, store):
+        if tq not in qtables:
+            return None
+        c = arr.astype(np.float64).reshape(-1, 8, 8) * qtables[tq]
+        px = np.matmul(np.matmul(_DCT_MT, c), _DCT_M)
+        px = np.clip(np.floor(px + 128.5), 0, 255).astype(np.int64)
+        plane = (
+            px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+        planes.append(plane)
+        factors.append((hs, vs))
+    pixels = _assemble_pixels(planes, factors, fh, fw)
+    return fw, fh, (1 if len(comps) == 1 else 3), pixels
+
+
+def _assemble_pixels(planes, factors, fh, fw):
+    """Upsample chroma by replication to the luma grid, colour-convert,
+    and crop to the frame dims.  ``factors`` is [(hs, vs)] per plane."""
+    if len(planes) == 1:
         return planes[0][:fh, :fw].astype(np.uint8)[:, :, None]
-    # upsample chroma by replication to the luma grid, then convert
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
     full = []
-    for ci, (hs, vs, _, _, _) in enumerate(scan):
-        p = planes[ci]
+    for p, (hs, vs) in zip(planes, factors):
         if hs != hmax:
             p = np.repeat(p, hmax // hs, axis=1)
         if vs != vmax:
