@@ -1746,6 +1746,58 @@ FROM dec GROUP BY doc_id, w, h
 """
 
 
+def q_multimodal_jpeg_progressive(spark, sf_dir):
+    """Progressive (SOF2) decode — the multi-scan variant most
+    web-crawled JPEGs actually use (spectral selection + successive
+    approximation + EOBn runs + AC refinement, T.81 Annex G).  The
+    synthesizer re-encodes the SAME constant-per-MCU images as the
+    baseline entry through the from-scratch progressive encoder
+    (operators/jpeg_progressive.py), so the decoded pixels — and the
+    analytic DuckDB twin — are IDENTICAL to multimodal_jpeg_decode's:
+    any desync in the progressive entropy layer (DC refinement bits,
+    EOB run lengths, ZRL-over-zero-history, buffered correction bits,
+    restarts inside progressive scans) breaks the same value hash.
+    Kept out of the bench headline set: at ~1.7 ms/image the
+    progressive round trip is deliberately the slow path (bench
+    documents the baseline codec; check_oracle --all value-checks
+    this one)."""
+    from pdf_extraction_spark.operators.jpeg import (
+        decode_jpeg,
+        synth_jpeg_progressive,
+    )
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    blobs = synth_jpeg_progressive(d, "doc_id")
+    return decode_jpeg(blobs, "media_id", "blob")
+
+
+def q_multimodal_jpeg_meta(spark, sf_dir):
+    """Header-only JPEG metadata probe at corpus scale: width/height/
+    component-count/frame-type from the SOF segment alone — no entropy
+    decode, no IDCT.  This is the operator a 100 TB image pipeline
+    runs FIRST (filter by dims / orientation / frame type before
+    paying for pixel decode).  Blobs alternate baseline (even doc_id)
+    and progressive (odd doc_id) frames, so the probe must actually
+    classify SOF0 vs SOF2 — the oracle pins `progressive = doc_id % 2`
+    analytically."""
+    from pdf_extraction_spark.operators.jpeg import probe_jpeg, synth_jpeg_mixed
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    blobs = synth_jpeg_mixed(d, "doc_id")
+    return probe_jpeg(blobs, "media_id", "blob")
+
+
+_ORACLE_JPEG_META = """
+SELECT doc_id AS media_id,
+       CAST(16 + doc_id % 5 * 7 AS INT) AS width,
+       CAST(16 + doc_id % 4 * 9 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(doc_id % 2 AS INT) AS progressive,
+       CAST(1 AS INT) AS is_valid
+FROM documents
+"""
+
+
 def q_extract_pdf_text(spark, sf_dir):
     """Text extraction from REAL %PDF bytes (the reference's core
     capability, pdfextraction.py:33-35 / app.py:46-52): each document's
@@ -2473,6 +2525,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_decode": q_multimodal_png_decode,
         "multimodal_gif_decode": q_multimodal_gif_decode,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+        "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
+        "multimodal_jpeg_meta": q_multimodal_jpeg_meta,
         "multimodal_decode_fake": q_multimodal_decode_fake,
         # relational coverage
         "pricing_summary": q_pricing_summary,
@@ -2516,8 +2570,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #
 # Added AFTER the round-4 driver snapshot (so deliberately NOT in
 # _DRIVER_ORDER yet — promote in the first commit of round 5):
-#   multimodal_jpeg_decode  — real baseline-JFIF codec; value-checked by
-#                             scripts/check_oracle.py --all and pytest
+#   multimodal_jpeg_decode      — real baseline-JFIF codec; value-checked
+#                                 by scripts/check_oracle.py --all + pytest
+#   multimodal_jpeg_progressive — SOF2 multi-scan decode, same analytic
+#                                 oracle (identical coefficients)
+#   multimodal_jpeg_meta        — header-only dims/frame-type probe over
+#                                 mixed SOF0/SOF2 blobs
 _DRIVER_ORDER = [
     # never driver-checked in rounds 1-3 (verdict ask #2) — first
     "docs_rollup",
@@ -2645,6 +2703,8 @@ def all_oracles() -> dict[str, str]:
         "multimodal_png_decode": _ORACLE_PNG_DECODE,
         "multimodal_gif_decode": _ORACLE_GIF_DECODE,
         "multimodal_jpeg_decode": _ORACLE_JPEG_DECODE,
+        "multimodal_jpeg_progressive": _ORACLE_JPEG_DECODE,
+        "multimodal_jpeg_meta": _ORACLE_JPEG_META,
         "multimodal_decode_fake": _ORACLE_MM_DECODE,
         "pricing_summary": _ORACLE_PRICING,
         "top_customers": _ORACLE_TOP_CUSTOMERS,

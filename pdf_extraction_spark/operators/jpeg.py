@@ -1074,6 +1074,113 @@ def synth_jpeg_bytes(media_id: int) -> bytes:
     )
 
 
+def synth_jpeg_progressive_bytes(media_id: int) -> bytes:
+    """The same constant-per-MCU image as synth_jpeg_bytes, encoded as
+    a progressive (SOF2) file: identical quantized coefficients, so the
+    decoded pixels — and therefore the analytic oracle — are identical
+    to the baseline entry's."""
+    from pdf_extraction_spark.operators.jpeg_progressive import (
+        encode_progressive_jpeg,
+    )
+
+    w, h = _jpeg_dims(media_id)
+    mcux = (w + 15) // 16
+    mcuy = (h + 15) // 16
+    img = np.zeros((mcuy * 16, mcux * 16, 3), np.uint8)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            img[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = _mcu_rgb(media_id, my, mx)
+    return encode_progressive_jpeg(
+        img[:h, :w], restart_interval=2 if media_id % 3 == 0 else 0
+    )
+
+
+def jpeg_dimensions(raw: bytes):
+    """Header-only probe: (width, height, channels, progressive) from
+    the SOF segment WITHOUT decoding any entropy data — the right
+    operator shape for 'dimensions of 100 TB of images': a few hundred
+    header bytes read per blob instead of a full decode.  Returns None
+    if no SOF frame appears before the scan data."""
+    n = len(raw)
+    if n < 4 or raw[0] != 0xFF or raw[1] != 0xD8:
+        return None
+    pos = 2
+    sof_markers = frozenset(
+        [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+    )
+    while pos + 4 <= n:
+        if raw[pos] != 0xFF:
+            return None
+        marker = raw[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker in (0xD9, 0xDA):
+            return None  # hit the end / scan data without seeing a frame
+        if pos + 2 > n:
+            return None
+        seglen = int.from_bytes(raw[pos : pos + 2], "big")
+        if seglen < 2 or pos + seglen > n:
+            return None
+        if marker in sof_markers:
+            body = raw[pos + 2 : pos + seglen]
+            if len(body) < 6:
+                return None
+            fh = int.from_bytes(body[1:3], "big")
+            fw = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if not fh or not fw or not ncomp:
+                return None
+            return fw, fh, ncomp, 1 if marker == 0xC2 else 0
+        pos += seglen
+    return None
+
+
+JPEG_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("progressive", IntegerType()),
+        StructField("is_valid", IntegerType()),
+    ]
+)
+
+
+def _jpeg_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {f.name: [] for f in JPEG_META_SCHEMA.fields}
+        for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+            meta = jpeg_dimensions(bytes(blob))
+            out["media_id"].append(int(mid))
+            if meta is None:
+                for k in ("width", "height", "channels", "progressive"):
+                    out[k].append(None)
+                out["is_valid"].append(0)
+                continue
+            w, h, ch, prog = meta
+            out["width"].append(w)
+            out["height"].append(h)
+            out["channels"].append(ch)
+            out["progressive"].append(prog)
+            out["is_valid"].append(1)
+        yield pd.DataFrame(out)
+
+
+def probe_jpeg(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """Header-only JPEG metadata (Arrow-batched mapInPandas over
+    jpeg_dimensions): no entropy decode, no IDCT — scan-local and
+    orders of magnitude cheaper than decode_jpeg."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
+    )
+    return src.mapInPandas(_jpeg_meta_batches, schema=JPEG_META_SCHEMA)
+
+
 JPEG_DECODE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -1106,6 +1213,44 @@ def synth_jpeg(df: DataFrame, id_col: str) -> DataFrame:
     mapInPandas, same shape as synth_png/synth_gif)."""
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
     return src.mapInPandas(_jpeg_synth_batches, schema="media_id long, blob binary")
+
+
+def _jpeg_prog_synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": [int(m) for m in pdf["media_id"]],
+                "blob": [synth_jpeg_progressive_bytes(int(m)) for m in pdf["media_id"]],
+            }
+        )
+
+
+def synth_jpeg_progressive(df: DataFrame, id_col: str) -> DataFrame:
+    """(media_id, blob) with a real progressive (SOF2) JPEG per id."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    return src.mapInPandas(_jpeg_prog_synth_batches, schema="media_id long, blob binary")
+
+
+def _jpeg_mixed_synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": [int(m) for m in pdf["media_id"]],
+                "blob": [
+                    synth_jpeg_bytes(int(m))
+                    if int(m) % 2 == 0
+                    else synth_jpeg_progressive_bytes(int(m))
+                    for m in pdf["media_id"]
+                ],
+            }
+        )
+
+
+def synth_jpeg_mixed(df: DataFrame, id_col: str) -> DataFrame:
+    """(media_id, blob): baseline JPEG for even ids, progressive for odd
+    — so a downstream probe/decode must classify the frame type itself."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    return src.mapInPandas(_jpeg_mixed_synth_batches, schema="media_id long, blob binary")
 
 
 def _jpeg_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

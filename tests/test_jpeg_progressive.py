@@ -271,6 +271,46 @@ def test_truncated_progressive_rejected():
     assert parse_jpeg(blob[: third + 20]) is None
 
 
+def test_jpeg_dimensions_header_only_probe():
+    from pdf_extraction_spark.operators.jpeg import jpeg_dimensions
+
+    img = _speckled_gradient(21, shape=(19, 26))
+    img3 = np.stack([img] * 3, axis=2)
+    base = encode_baseline_jpeg(img3)
+    prog = encode_progressive_jpeg(img3)
+    assert jpeg_dimensions(base) == (26, 19, 3, 0)
+    assert jpeg_dimensions(prog) == (26, 19, 3, 1)
+    gray = encode_baseline_jpeg(img)
+    assert jpeg_dimensions(gray) == (26, 19, 1, 0)
+    # probe must succeed WITHOUT the entropy data: truncate right after
+    # the SOF segment and it still answers
+    sof = base.index(b"\xff\xc0")
+    seglen = int.from_bytes(base[sof + 2 : sof + 4], "big")
+    assert jpeg_dimensions(base[: sof + 2 + seglen]) == (26, 19, 3, 0)
+    # and fails cleanly on junk
+    assert jpeg_dimensions(b"\xff\xd8\xff\xd9") is None
+    assert jpeg_dimensions(b"GIF89a") is None
+
+
+def test_spark_probe_and_mixed_synth(spark):
+    from pyspark.sql import functions as F
+    from pdf_extraction_spark.operators.jpeg import probe_jpeg, synth_jpeg_mixed
+    from pdf_extraction_spark.operators.jpeg import _jpeg_dims
+
+    ids = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    rows = {
+        r["media_id"]: r
+        for r in probe_jpeg(synth_jpeg_mixed(ids, "doc_id"), "media_id", "blob").collect()
+    }
+    assert len(rows) == 20
+    for mid in range(20):
+        w, h = _jpeg_dims(mid)
+        r = rows[mid]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert r["progressive"] == mid % 2
+        assert r["is_valid"] == 1
+
+
 def test_progressive_through_spark_decode(spark):
     # decode_jpeg picks up SOF2 blobs transparently via parse_jpeg
     from pyspark.sql import functions as F
