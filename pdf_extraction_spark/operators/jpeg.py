@@ -345,23 +345,14 @@ def _dht_segment(tclass: int, tid: int, bits: list[int], vals: list[int]) -> byt
     return b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
 
 
-def encode_baseline_jpeg(
-    img: np.ndarray,
-    *,
-    luma_q: np.ndarray | None = None,
-    chroma_q: np.ndarray | None = None,
-    restart_interval: int = 0,
-    extra_segments: bytes = b"",
-) -> bytes:
-    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
-    baseline JFIF JPEG.  Colour images use 4:2:0 subsampling (2x2
-    integer-mean chroma) — the layout virtually all camera/web JPEGs
-    use; grayscale is a single non-subsampled component.  Quant tables
-    default to all-1s (the exactness contract for constant blocks);
-    pass real tables for lossy realism.  ``restart_interval`` > 0 emits
-    DRI + RSTn markers every that-many MCUs.  ``extra_segments`` is
-    spliced between APP0 and DQT so tests can plant COM/APPn blocks the
-    decoder must skip."""
+def _prepare_planes(img, luma_q, chroma_q):
+    """The shared lossy pixel pipeline BOTH encoders (baseline and
+    progressive) run before entropy coding: validate, pad to the MCU
+    grid by edge replication, fixed-point RGB->YCbCr, 4:2:0 chroma
+    subsampling (2x2 integer mean, round-half-up).  Keeping this in one
+    place is what makes the progressive==baseline pixel-exact
+    cross-check in tests/test_jpeg_progressive.py meaningful.  Returns
+    (gray, h, w, mcux, mcuy, [(plane, qtable, hs, vs)], lq, cq)."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -371,7 +362,6 @@ def encode_baseline_jpeg(
     cq = np.ones((8, 8), np.int64) if chroma_q is None else np.asarray(chroma_q, np.int64)
     if (lq < 1).any() or (lq > 255).any() or (cq < 1).any() or (cq > 255).any():
         raise ValueError("8-bit quant tables only")
-
     mcu = 8 if gray else 16
     mcux = (w + mcu - 1) // mcu
     mcuy = (h + mcu - 1) // mcu
@@ -382,11 +372,34 @@ def encode_baseline_jpeg(
     else:
         padded = np.pad(img, ((0, padh - h), (0, padw - w), (0, 0)), mode="edge")
         y, cb, cr = rgb_to_ycbcr(padded[:, :, 0], padded[:, :, 1], padded[:, :, 2])
+
         # 4:2:0: integer mean of each 2x2 with round-half-up
         def sub(p):
             return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2) >> 2
 
         planes = [(y, lq, 2, 2), (sub(cb), cq, 1, 1), (sub(cr), cq, 1, 1)]
+    return gray, h, w, mcux, mcuy, planes, lq, cq
+
+
+def encode_baseline_jpeg(
+    img: np.ndarray,
+    *,
+    luma_q: np.ndarray | None = None,
+    chroma_q: np.ndarray | None = None,
+    restart_interval: int = 0,
+    extra_segments: bytes = b"",
+    interleave: bool = True,
+) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
+    baseline JFIF JPEG.  Colour images use 4:2:0 subsampling (2x2
+    integer-mean chroma) — the layout virtually all camera/web JPEGs
+    use; grayscale is a single non-subsampled component.  Quant tables
+    default to all-1s (the exactness contract for constant blocks);
+    pass real tables for lossy realism.  ``restart_interval`` > 0 emits
+    DRI + RSTn markers every that-many MCUs.  ``extra_segments`` is
+    spliced between APP0 and DQT so tests can plant COM/APPn blocks the
+    decoder must skip."""
+    gray, h, w, mcux, mcuy, planes, lq, cq = _prepare_planes(img, luma_q, chroma_q)
 
     dc_l = build_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = build_huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -397,6 +410,44 @@ def encode_baseline_jpeg(
     # quantize every block of every plane in one batched FDCT per plane,
     # then walk MCUs emitting the entropy-coded stream
     quantized = [_quantize_plane(plane, qt) for plane, qt, _, _ in planes]
+    hmax = max(p[2] for p in planes)
+    vmax = max(p[3] for p in planes)
+    header = _header_bytes(
+        h, w, gray, lq.tobytes(), cq.tobytes(), restart_interval, extra_segments,
+        interleave,
+    )
+    if not interleave:
+        # sequential layout (T.81 A.2.2): one SOS per component, blocks
+        # in raster order over the component's OWN ceil(samples/8) grid
+        # (padding blocks beyond it are never transmitted)
+        out = bytearray(header)
+        for ci, (plane, qt, hs, vs) in enumerate(planes):
+            dcc, acc = comp_tables[ci] if not gray else (dc_l, ac_l)
+            rows, lasts = quantized[ci]
+            bw = plane.shape[1] // 8
+            compw = (w * hs + hmax - 1) // hmax
+            comph = (h * vs + vmax - 1) // vmax
+            nbx, nby = (compw + 7) // 8, (comph + 7) // 8
+            tsel = 0 if ci == 0 else 1
+            sos = bytes([1, ci + 1, (tsel << 4) | tsel, 0, 63, 0])
+            out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+            writer = _BitWriter()
+            pred = 0
+            unit = 0
+            rst_idx = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        writer.align_ones()
+                        writer.out += bytes([0xFF, 0xD0 + rst_idx])
+                        rst_idx = (rst_idx + 1) & 7
+                        pred = 0
+                    unit += 1
+                    n = by * bw + bx
+                    pred = _encode_block(writer, rows[n], pred, dcc, acc, lasts[n])
+            writer.align_ones()
+            out += writer.out
+        return bytes(out) + b"\xff\xd9"
     writer = _BitWriter()
     preds = [0] * len(planes)
     mcu_count = 0
@@ -421,9 +472,6 @@ def encode_baseline_jpeg(
             mcu_count += 1
     writer.align_ones()
 
-    header = _header_bytes(
-        h, w, gray, lq.tobytes(), cq.tobytes(), restart_interval, extra_segments
-    )
     return header + bytes(writer.out) + b"\xff\xd9"  # EOI
 
 
@@ -436,10 +484,13 @@ def _header_bytes(
     cq_raw: bytes,
     restart_interval: int,
     extra_segments: bytes,
+    interleave: bool = True,
 ) -> bytes:
-    """Everything before the entropy-coded data (SOI..SOS).  Depends only
-    on dims/tables/restart/extras, so a synth fleet hitting the same few
-    combinations builds each preamble once."""
+    """Everything before the entropy-coded data (SOI..SOS — or SOI..DRI
+    when ``interleave`` is False: sequential encoders emit their own
+    per-component SOS segments).  Depends only on dims/tables/restart/
+    extras, so a synth fleet hitting the same few combinations builds
+    each preamble once."""
     lq = np.frombuffer(lq_raw, np.int64).reshape(8, 8)
     cq = np.frombuffer(cq_raw, np.int64).reshape(8, 8)
 
@@ -468,10 +519,11 @@ def _header_bytes(
         out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
     if restart_interval:
         out += seg(0xDD, restart_interval.to_bytes(2, "big"))
-    sos = bytes([ncomp])
-    sos += bytes([1, 0x00]) if gray else bytes([1, 0x00, 2, 0x11, 3, 0x11])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
+    if interleave:
+        sos = bytes([ncomp])
+        sos += bytes([1, 0x00]) if gray else bytes([1, 0x00, 2, 0x11, 3, 0x11])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, sos)
     return bytes(out)
 
 
@@ -509,7 +561,11 @@ class _BitReader:
                 return False  # real marker (EOI/next segment): scan is over
         else:
             self.pos += 1
-        self._acc = (self._acc << 8) | byte
+        # mask consumed high bits before shifting the new byte in — the
+        # accumulator must stay O(24 bits), not grow with the stream
+        # (unmasked, every shift is O(bits consumed so far) and decode
+        # goes quadratic in image size)
+        self._acc = ((self._acc & ((1 << self._n) - 1)) << 8) | byte
         self._n += 8
         return True
 
@@ -687,17 +743,32 @@ def parse_jpeg(raw: bytes):
                 if pos is None:
                     return None
                 continue
-            if ns != len(comps):
+            # baseline fast path: the single fully-interleaved scan
+            # virtually every real file uses (for one-component frames
+            # only with 1x1 sampling — a non-interleaved scan covers
+            # ceil(samples/8) blocks, not sampling-factor MCUs)
+            if ns == len(comps) and (ns > 1 or comps[0][1] == comps[0][2] == 1):
+                scan = []  # hs, vs, tq, td, ta
+                for ci, (td, ta) in zip(scan_ci, tsels):
+                    _, hs, vs, tq = comps[ci]
+                    scan.append((hs, vs, tq, td, ta))
+                pixels = _decode_scan(raw, pos + seglen, fh, fw, scan, qtables, htables, restart_interval)
+                if pixels is None:
+                    return None
+                ch = 1 if ns == 1 else 3
+                return fw, fh, ch, pixels
+            # spec-legal sequential layouts (T.81 A.2.2): per-component
+            # or partial-interleave scans accumulate like progressive
+            # ones and finalize at EOI
+            if store is None:
+                store = _progressive_store(fh, fw, comps)
+            pos = _decode_baseline_scan_store(
+                raw, pos + seglen, fh, fw, comps, scan_ci, tsels,
+                store, htables, restart_interval,
+            )
+            if pos is None:
                 return None
-            scan = []  # hs, vs, tq, td, ta
-            for ci, (td, ta) in zip(scan_ci, tsels):
-                _, hs, vs, tq = comps[ci]
-                scan.append((hs, vs, tq, td, ta))
-            pixels = _decode_scan(raw, pos + seglen, fh, fw, scan, qtables, htables, restart_interval)
-            if pixels is None:
-                return None
-            ch = 1 if ns == 1 else 3
-            return fw, fh, ch, pixels
+            continue
         pos += seglen
     return None
 
@@ -1001,6 +1072,87 @@ def _decode_progressive_scan(
     return pos
 
 
+def _decode_baseline_scan_store(
+    raw, pos, fh, fw, comps, scan_ci, tsels, store, htables, restart_interval
+):
+    """One baseline (full-coefficient) scan of a sequential multi-scan
+    file, accumulated into the store: non-interleaved block geometry
+    when the scan holds one component (T.81 A.2.2 — the MCU is a single
+    data unit over ceil(samples/8) blocks), frame-factor interleave
+    otherwise.  Returns the offset of the next marker, or None."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    work = []
+    for ci, (td, ta) in zip(scan_ci, tsels):
+        if (0, td) not in htables or (1, ta) not in htables:
+            return None
+        arr, bw, bh, nbx, nby = store[ci]
+        _, hs, vs, tq = comps[ci]
+        work.append((arr, bw, hs, vs, nbx, nby, htables[(0, td)], htables[(1, ta)]))
+    interleaved = len(scan_ci) > 1
+    reader = _BitReader(raw, pos)
+    preds = [0] * len(scan_ci)
+    unit = 0
+    rst_idx = 0
+    zz = ZIGZAG
+    units = (
+        [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+        if interleaved
+        else [(by, bx) for by in range(work[0][5]) for bx in range(work[0][4])]
+    )
+    for uy, ux in units:
+        if restart_interval and unit and unit % restart_interval == 0:
+            if not reader.expect_restart(rst_idx):
+                return None
+            rst_idx = (rst_idx + 1) & 7
+            preds = [0] * len(scan_ci)
+        for wi, (arr, bw, hs, vs, nbx, nby, dct, act) in enumerate(work):
+            idxs = (
+                [(uy * vs + by) * bw + (ux * hs + bx)
+                 for by in range(vs) for bx in range(hs)]
+                if interleaved
+                else [uy * bw + ux]
+            )
+            for idx in idxs:
+                row = arr[idx]
+                size = reader.decode_huff(dct)
+                if size is None or size > 11:
+                    return None
+                if size:
+                    bitsv = reader.receive(size)
+                    if bitsv is None:
+                        return None
+                    preds[wi] += _extend(bitsv, size)
+                row[0] = preds[wi]
+                k = 1
+                while k < 64:
+                    sym = reader.decode_huff(act)
+                    if sym is None:
+                        return None
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        return None
+                    bitsv = reader.receive(size)
+                    if bitsv is None:
+                        return None
+                    row[zz[k]] = _extend(bitsv, size)
+                    k += 1
+        unit += 1
+    pos = reader.pos
+    n = len(raw)
+    while pos < n and raw[pos] != 0xFF:
+        pos += 1
+    return pos
+
+
 def _finalize_progressive(frame, store, qtables):
     fh, fw, comps, _ = frame
     planes = []
@@ -1052,6 +1204,20 @@ def _mcu_rgb(media_id: int, my: int, mx: int) -> tuple[int, int, int]:
     return d[0], d[1], d[2]
 
 
+def _synth_mcu_image(media_id: int) -> np.ndarray:
+    """The constant-per-16x16-MCU RGB image both JPEG synthesizers
+    encode — the geometry/colour formulas the DuckDB oracle mirrors
+    analytically, so it must exist exactly once."""
+    w, h = _jpeg_dims(media_id)
+    mcux = (w + 15) // 16
+    mcuy = (h + 15) // 16
+    img = np.zeros((mcuy * 16, mcux * 16, 3), np.uint8)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            img[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = _mcu_rgb(media_id, my, mx)
+    return img[:h, :w]
+
+
 def synth_jpeg_bytes(media_id: int) -> bytes:
     """A real baseline JFIF blob from an integer id: w = 16 + id%5*7,
     h = 16 + id%4*9 (non-multiples of 16 exercise edge padding), RGB
@@ -1060,15 +1226,8 @@ def synth_jpeg_bytes(media_id: int) -> bytes:
     exactness contract), a COM segment the parser must skip, and a
     2-MCU restart interval for ids with id % 3 == 0 so RSTn handling
     is exercised inside the driver-checked entry."""
-    w, h = _jpeg_dims(media_id)
-    mcux = (w + 15) // 16
-    mcuy = (h + 15) // 16
-    img = np.zeros((mcuy * 16, mcux * 16, 3), np.uint8)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            img[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = _mcu_rgb(media_id, my, mx)
     return encode_baseline_jpeg(
-        img[:h, :w],
+        _synth_mcu_image(media_id),
         restart_interval=2 if media_id % 3 == 0 else 0,
         extra_segments=b"\xff\xfe\x00\x0bsynthetic",
     )
@@ -1083,15 +1242,8 @@ def synth_jpeg_progressive_bytes(media_id: int) -> bytes:
         encode_progressive_jpeg,
     )
 
-    w, h = _jpeg_dims(media_id)
-    mcux = (w + 15) // 16
-    mcuy = (h + 15) // 16
-    img = np.zeros((mcuy * 16, mcux * 16, 3), np.uint8)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            img[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = _mcu_rgb(media_id, my, mx)
     return encode_progressive_jpeg(
-        img[:h, :w], restart_interval=2 if media_id % 3 == 0 else 0
+        _synth_mcu_image(media_id), restart_interval=2 if media_id % 3 == 0 else 0
     )
 
 

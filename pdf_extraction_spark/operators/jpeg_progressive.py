@@ -29,19 +29,18 @@ from __future__ import annotations
 import numpy as np
 
 from pdf_extraction_spark.operators.jpeg import (
+    ZIGZAG,
     DC_CHROMA_BITS,
     DC_CHROMA_VALS,
     DC_LUMA_BITS,
     DC_LUMA_VALS,
     _BitWriter,
     _dht_segment,
-    _header_bytes,  # noqa: F401  (kept import-adjacent for discoverability)
     _magnitude_size,
+    _prepare_planes,
     _quantize_plane,
     build_huffman_codes,
-    rgb_to_ycbcr,
 )
-from pdf_extraction_spark.operators.jpeg import ZIGZAG, _ZZ_ARR  # noqa: F401
 
 # One flat Huffman table for progressive AC scans.  The Annex-K
 # baseline AC tables lack the EOBn symbols (r, 0) for r = 1..14 that
@@ -203,33 +202,8 @@ def encode_progressive_jpeg(
     progressive (SOF2) JFIF JPEG carrying exactly the same quantized
     coefficients as encode_baseline_jpeg with the same tables — colour
     images use 4:2:0 subsampling, grayscale a single component."""
-    img = np.asarray(img, dtype=np.uint8)
-    gray = img.ndim == 2
-    h, w = img.shape[:2]
-    if h == 0 or w == 0:
-        raise ValueError("empty image")
-    lq = np.ones((8, 8), np.int64) if luma_q is None else np.asarray(luma_q, np.int64)
-    cq = np.ones((8, 8), np.int64) if chroma_q is None else np.asarray(chroma_q, np.int64)
-    if (lq < 1).any() or (lq > 255).any() or (cq < 1).any() or (cq > 255).any():
-        raise ValueError("8-bit quant tables only")
-
-    # identical pixel pipeline to the baseline encoder
-    mcu = 8 if gray else 16
-    mcux = (w + mcu - 1) // mcu
-    mcuy = (h + mcu - 1) // mcu
-    padw, padh = mcux * mcu, mcuy * mcu
-    if gray:
-        ypl = np.pad(img, ((0, padh - h), (0, padw - w)), mode="edge").astype(np.int64)
-        planes = [(ypl, lq, 1, 1)]
-    else:
-        padded = np.pad(img, ((0, padh - h), (0, padw - w), (0, 0)), mode="edge")
-        y, cb, cr = rgb_to_ycbcr(padded[:, :, 0], padded[:, :, 1], padded[:, :, 2])
-
-        def sub(p):
-            return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2) >> 2
-
-        planes = [(y, lq, 2, 2), (sub(cb), cq, 1, 1), (sub(cr), cq, 1, 1)]
-
+    # identical pixel pipeline to the baseline encoder, by construction
+    gray, h, w, mcux, mcuy, planes, lq, cq = _prepare_planes(img, luma_q, chroma_q)
     hmax = max(p[2] for p in planes)
     vmax = max(p[3] for p in planes)
     # quantized zigzag-natural rows per component, raster block order

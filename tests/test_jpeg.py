@@ -321,6 +321,53 @@ def test_rejects_truncation_garbage_and_progressive():
     assert parse_jpeg(blob[:i] + b"\xff\xc2" + blob[i + 2 :]) is None
 
 
+def test_sequential_noninterleaved_scans_decode():
+    # spec-legal baseline layout (T.81 A.2.2): one SOS per component,
+    # non-interleaved block geometry — rejected before the store path
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(37, 50, 3), dtype=np.uint8)
+    ref = parse_jpeg(encode_baseline_jpeg(img))
+    for restart in (0, 3):
+        seq = encode_baseline_jpeg(img, interleave=False, restart_interval=restart)
+        assert seq.count(b"\xff\xda") == 3
+        out = parse_jpeg(seq)
+        assert out is not None and (out[3] == ref[3]).all()
+
+
+def test_gray_frame_with_declared_sampling_factors():
+    # some writers declare 2x2 sampling on a single-component frame;
+    # the scan is still raster ceil(w/8) x ceil(h/8) blocks (the MCU of
+    # a non-interleaved scan is one data unit), so dims must not change
+    rng = np.random.default_rng(32)
+    img = rng.integers(0, 256, size=(19, 26), dtype=np.uint8)
+    blob = encode_baseline_jpeg(img)
+    ref = parse_jpeg(blob)
+    i = blob.index(b"\xff\xc0")
+    j = i + 4 + 7  # SOF body offset 7 = the component's sampling byte
+    assert blob[j] == 0x11
+    patched = blob[:j] + b"\x22" + blob[j + 1 :]
+    out = parse_jpeg(patched)
+    assert out is not None and (out[3] == ref[3]).all()
+
+
+def test_decode_scales_linearly_not_quadratically():
+    # regression guard for the unmasked-accumulator bug: decode of a
+    # 256x256 noise image took ~4 s when every bit-read shifted a
+    # stream-sized integer; with the masked accumulator it is ~0.1 s.
+    # The generous 2 s bound stays far above timer noise but far below
+    # the quadratic regime.
+    import time
+
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, size=(256, 256, 3), dtype=np.uint8)
+    blob = encode_baseline_jpeg(img)
+    t0 = time.perf_counter()
+    out = parse_jpeg(blob)
+    elapsed = time.perf_counter() - t0
+    assert out is not None
+    assert elapsed < 2.0, f"256x256 decode took {elapsed:.2f}s - accumulator quadratic again?"
+
+
 def test_malformed_dht_rejected_not_crashed():
     # a DHT whose code counts violate Kraft (3 codes of length 1) must
     # fail the parse cleanly — a naive canonical build would index past
