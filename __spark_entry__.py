@@ -1777,9 +1777,10 @@ def q_multimodal_jpeg_meta(spark, sf_dir):
     decode, no IDCT.  This is the operator a 100 TB image pipeline
     runs FIRST (filter by dims / orientation / frame type before
     paying for pixel decode).  Blobs alternate baseline (even doc_id)
-    and progressive (odd doc_id) frames, so the probe must actually
-    classify SOF0 vs SOF2 — the oracle pins `progressive = doc_id % 2`
-    analytically."""
+    and progressive (odd doc_id) frames and carry APP1 Exif segments
+    in BOTH TIFF byte orders, so the probe must classify SOF0 vs SOF2
+    and walk II/MM IFDs — the oracle pins `progressive = doc_id % 2`
+    and `orientation = doc_id % 8 + 1` analytically."""
     from pdf_extraction_spark.operators.jpeg import probe_jpeg, synth_jpeg_mixed
 
     d = _load(spark, sf_dir, "documents").select("doc_id")
@@ -1793,6 +1794,7 @@ SELECT doc_id AS media_id,
        CAST(16 + doc_id % 4 * 9 AS INT) AS height,
        CAST(3 AS INT) AS channels,
        CAST(doc_id % 2 AS INT) AS progressive,
+       CAST(doc_id % 8 + 1 AS INT) AS orientation,
        CAST(1 AS INT) AS is_valid
 FROM documents
 """

@@ -1247,16 +1247,69 @@ def synth_jpeg_progressive_bytes(media_id: int) -> bytes:
     )
 
 
+def _parse_exif_orientation(body: bytes) -> int | None:
+    """Orientation (tag 0x0112) from an APP1 Exif payload: TIFF header
+    (II little / MM big endian), IFD0 entry walk.  None if absent or
+    malformed — callers fall back to the default orientation 1."""
+    if not body.startswith(b"Exif\x00\x00"):
+        return None
+    t = body[6:]
+    if len(t) < 8:
+        return None
+    if t[:2] == b"II":
+        bo = "little"
+    elif t[:2] == b"MM":
+        bo = "big"
+    else:
+        return None
+    if int.from_bytes(t[2:4], bo) != 42:
+        return None
+    off = int.from_bytes(t[4:8], bo)
+    if off + 2 > len(t):
+        return None
+    cnt = int.from_bytes(t[off : off + 2], bo)
+    for i in range(cnt):
+        e = off + 2 + 12 * i
+        if e + 12 > len(t):
+            return None
+        if int.from_bytes(t[e : e + 2], bo) == 0x0112:
+            if int.from_bytes(t[e + 2 : e + 4], bo) != 3:  # SHORT
+                return None
+            return int.from_bytes(t[e + 8 : e + 10], bo)
+    return None
+
+
+def exif_app1_segment(orientation: int, little: bool = True) -> bytes:
+    """A minimal spec-shaped APP1 Exif segment carrying one IFD0 entry
+    (Orientation) — what the synthesizer plants so the probe's TIFF
+    walk is exercised in both byte orders."""
+    bo = "little" if little else "big"
+    t = (b"II" if little else b"MM") + (42).to_bytes(2, bo) + (8).to_bytes(4, bo)
+    t += (1).to_bytes(2, bo)  # one IFD0 entry
+    t += (
+        (0x0112).to_bytes(2, bo)
+        + (3).to_bytes(2, bo)
+        + (1).to_bytes(4, bo)
+        + orientation.to_bytes(2, bo)
+        + b"\x00\x00"
+    )
+    t += (0).to_bytes(4, bo)  # no next IFD
+    body = b"Exif\x00\x00" + t
+    return b"\xff\xe1" + (len(body) + 2).to_bytes(2, "big") + body
+
+
 def jpeg_dimensions(raw: bytes):
-    """Header-only probe: (width, height, channels, progressive) from
-    the SOF segment WITHOUT decoding any entropy data — the right
-    operator shape for 'dimensions of 100 TB of images': a few hundred
-    header bytes read per blob instead of a full decode.  Returns None
-    if no SOF frame appears before the scan data."""
+    """Header-only probe: (width, height, channels, progressive,
+    orientation) from the SOF + APP1 segments WITHOUT decoding any
+    entropy data — the right operator shape for 'dimensions of 100 TB
+    of images': a few hundred header bytes read per blob instead of a
+    full decode.  Orientation is the Exif tag (1 when absent).
+    Returns None if no SOF frame appears before the scan data."""
     n = len(raw)
     if n < 4 or raw[0] != 0xFF or raw[1] != 0xD8:
         return None
     pos = 2
+    orientation = 1
     sof_markers = frozenset(
         [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
     )
@@ -1277,7 +1330,11 @@ def jpeg_dimensions(raw: bytes):
         seglen = int.from_bytes(raw[pos : pos + 2], "big")
         if seglen < 2 or pos + seglen > n:
             return None
-        if marker in sof_markers:
+        if marker == 0xE1:
+            o = _parse_exif_orientation(raw[pos + 2 : pos + seglen])
+            if o is not None:
+                orientation = o
+        elif marker in sof_markers:
             body = raw[pos + 2 : pos + seglen]
             if len(body) < 6:
                 return None
@@ -1286,7 +1343,7 @@ def jpeg_dimensions(raw: bytes):
             ncomp = body[5]
             if not fh or not fw or not ncomp:
                 return None
-            return fw, fh, ncomp, 1 if marker == 0xC2 else 0
+            return fw, fh, ncomp, 1 if marker == 0xC2 else 0, orientation
         pos += seglen
     return None
 
@@ -1298,6 +1355,7 @@ JPEG_META_SCHEMA = StructType(
         StructField("height", IntegerType()),
         StructField("channels", IntegerType()),
         StructField("progressive", IntegerType()),
+        StructField("orientation", IntegerType()),
         StructField("is_valid", IntegerType()),
     ]
 )
@@ -1310,15 +1368,16 @@ def _jpeg_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             meta = jpeg_dimensions(bytes(blob))
             out["media_id"].append(int(mid))
             if meta is None:
-                for k in ("width", "height", "channels", "progressive"):
+                for k in ("width", "height", "channels", "progressive", "orientation"):
                     out[k].append(None)
                 out["is_valid"].append(0)
                 continue
-            w, h, ch, prog = meta
+            w, h, ch, prog, orient = meta
             out["width"].append(w)
             out["height"].append(h)
             out["channels"].append(ch)
             out["progressive"].append(prog)
+            out["orientation"].append(orient)
             out["is_valid"].append(1)
         yield pd.DataFrame(out)
 
@@ -1383,17 +1442,28 @@ def synth_jpeg_progressive(df: DataFrame, id_col: str) -> DataFrame:
     return src.mapInPandas(_jpeg_prog_synth_batches, schema="media_id long, blob binary")
 
 
+def synth_jpeg_mixed_bytes(media_id: int) -> bytes:
+    """Baseline JPEG for even ids, progressive for odd, each carrying
+    an APP1 Exif segment with orientation = id % 8 + 1 (little-endian
+    TIFF for most ids, big-endian when id % 3 == 0) — so the metadata
+    probe must classify the frame type AND walk both byte orders."""
+    img = _synth_mcu_image(media_id)
+    exif = exif_app1_segment(media_id % 8 + 1, little=media_id % 3 != 0)
+    if media_id % 2 == 0:
+        return encode_baseline_jpeg(img, extra_segments=exif)
+    from pdf_extraction_spark.operators.jpeg_progressive import (
+        encode_progressive_jpeg,
+    )
+
+    return encode_progressive_jpeg(img, extra_segments=exif)
+
+
 def _jpeg_mixed_synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         yield pd.DataFrame(
             {
                 "media_id": [int(m) for m in pdf["media_id"]],
-                "blob": [
-                    synth_jpeg_bytes(int(m))
-                    if int(m) % 2 == 0
-                    else synth_jpeg_progressive_bytes(int(m))
-                    for m in pdf["media_id"]
-                ],
+                "blob": [synth_jpeg_mixed_bytes(int(m)) for m in pdf["media_id"]],
             }
         )
 

@@ -196,6 +196,7 @@ def encode_progressive_jpeg(
     luma_q: np.ndarray | None = None,
     chroma_q: np.ndarray | None = None,
     restart_interval: int = 0,
+    extra_segments: bytes = b"",
     scan_script=None,
 ) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
@@ -234,6 +235,7 @@ def encode_progressive_jpeg(
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += extra_segments
     zz_l = bytes(int(lq.reshape(64)[ZIGZAG[k]]) for k in range(64))
     out += seg(0xDB, b"\x00" + zz_l)
     if not gray:

@@ -258,25 +258,66 @@ def test_truncated_progressive_rejected():
     assert parse_jpeg(blob[: third + 20]) is None
 
 
+# ---------------------------------------------------------------------------
+# property: for ANY dims (including 1x1 and sub-MCU sizes) and ANY
+# pixel content, progressive and baseline decodes agree exactly, and
+# grayscale q=1 stays within DCT rounding of the original
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 34),
+    h=st.integers(1, 34),
+    seed=st.integers(0, 2**31 - 1),
+    gray=st.booleans(),
+)
+def test_any_dims_progressive_matches_baseline(w, h, seed, gray):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    base = parse_jpeg(encode_baseline_jpeg(img))
+    prog = parse_jpeg(encode_progressive_jpeg(img))
+    assert base is not None and prog is not None
+    assert base[:3] == (w, h, 1 if gray else 3) == prog[:3]
+    assert (base[3] == prog[3]).all()
+    if gray:  # q=1: only FDCT/IDCT rounding separates decode from input
+        assert np.abs(base[3][:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+
 def test_jpeg_dimensions_header_only_probe():
-    from pdf_extraction_spark.operators.jpeg import jpeg_dimensions
+    from pdf_extraction_spark.operators.jpeg import (
+        exif_app1_segment,
+        jpeg_dimensions,
+    )
 
     img = _speckled_gradient(21, shape=(19, 26))
     img3 = np.stack([img] * 3, axis=2)
     base = encode_baseline_jpeg(img3)
     prog = encode_progressive_jpeg(img3)
-    assert jpeg_dimensions(base) == (26, 19, 3, 0)
-    assert jpeg_dimensions(prog) == (26, 19, 3, 1)
+    assert jpeg_dimensions(base) == (26, 19, 3, 0, 1)  # orientation defaults 1
+    assert jpeg_dimensions(prog) == (26, 19, 3, 1, 1)
     gray = encode_baseline_jpeg(img)
-    assert jpeg_dimensions(gray) == (26, 19, 1, 0)
+    assert jpeg_dimensions(gray) == (26, 19, 1, 0, 1)
+    # Exif orientation in both TIFF byte orders
+    for little in (True, False):
+        tagged = encode_baseline_jpeg(img3, extra_segments=exif_app1_segment(6, little))
+        assert jpeg_dimensions(tagged) == (26, 19, 3, 0, 6), little
     # probe must succeed WITHOUT the entropy data: truncate right after
     # the SOF segment and it still answers
     sof = base.index(b"\xff\xc0")
     seglen = int.from_bytes(base[sof + 2 : sof + 4], "big")
-    assert jpeg_dimensions(base[: sof + 2 + seglen]) == (26, 19, 3, 0)
-    # and fails cleanly on junk
+    assert jpeg_dimensions(base[: sof + 2 + seglen]) == (26, 19, 3, 0, 1)
+    # and fails cleanly on junk, including a truncated/garbled Exif
     assert jpeg_dimensions(b"\xff\xd8\xff\xd9") is None
     assert jpeg_dimensions(b"GIF89a") is None
+    broken = exif_app1_segment(6)[:12]
+    broken = broken[:2] + (len(broken) - 2).to_bytes(2, "big") + broken[4:]
+    tagged = encode_baseline_jpeg(img3, extra_segments=broken)
+    assert jpeg_dimensions(tagged) == (26, 19, 3, 0, 1)  # falls back to 1
 
 
 def test_spark_probe_and_mixed_synth(spark):
@@ -295,6 +336,7 @@ def test_spark_probe_and_mixed_synth(spark):
         r = rows[mid]
         assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
         assert r["progressive"] == mid % 2
+        assert r["orientation"] == mid % 8 + 1
         assert r["is_valid"] == 1
 
 
