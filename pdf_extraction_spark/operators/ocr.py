@@ -1,0 +1,150 @@
+"""Raster render + OCR round trip over the constrained synthetic
+subset — the reference's scanned-PDF path re-created from scratch.
+
+The reference pipeline (/root/reference/pdfextraction.py:16,72-73)
+is: PDF bytes -> poppler raster (convert_from_bytes) -> PIL image ->
+pytesseract OCR -> text.  None of those binaries exist in this
+container, which rounds 1-4 documented as the one genuinely blocked
+capability.  This module re-creates the SHAPE of that path with
+from-scratch components over a constrained subset:
+
+    text -> build_pdf (real %PDF bytes)
+         -> extract_pdf_pages (from-scratch parser)
+         -> rasterize with a deterministic 8x8 bitmap font
+         -> encode_baseline_jpeg (real JFIF bytes, grayscale)
+         -> parse_jpeg (real decode)
+         -> template-matching OCR (exact, with Hamming fallback)
+         -> recovered text
+
+Honest scoping, stated plainly: the font is procedural (md5-derived
+glyph bitmaps — deterministic and pairwise distinct, not humanly
+readable), layout is a fixed character grid, and the OCR is template
+matching against the same font — this demonstrates the full
+render->compress->decode->recognize dataflow and its failure modes
+(binarization after lossy compression), NOT general-purpose OCR of
+arbitrary scanned documents, which remains impossible without
+poppler/tesseract.
+
+Scale shape: one Arrow-batched mapInPandas pass, embarrassingly
+parallel, plan-asserted shuffle-free like the other codec entries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+from pdf_extraction_spark.operators.jpeg import encode_baseline_jpeg, parse_jpeg
+from pdf_extraction_spark.pdf_parse import build_pdf, extract_pdf_pages
+
+# Printable ASCII; everything else sanitizes to '?' (mirrored by the
+# DuckDB oracle's regexp_replace('[^ -~]', '?', 'g')).
+CHARSET = [chr(c) for c in range(0x20, 0x7F)]
+GLYPH = 8  # glyph cell is 8x8 pixels — one JPEG block per cell
+COLS, ROWS = 16, 8  # one 128x64 page
+PAGE_CAP = COLS * ROWS  # 128 characters
+
+
+def _glyph_bits(ch: str) -> np.ndarray:
+    """8x8 boolean ink mask for one character: the first 8 bytes of
+    md5('glyph:' + ch), one byte per row, MSB-left.  Deterministic,
+    and pairwise-distinct over CHARSET (asserted in tests along with a
+    minimum ink count, so no glyph degenerates into the blank padding
+    cell)."""
+    d = hashlib.md5(f"glyph:{ch}".encode()).digest()[:GLYPH]
+    rows = np.frombuffer(d, np.uint8)
+    return (rows[:, None] >> np.arange(7, -1, -1)[None, :]) & 1 == 1
+
+
+_GLYPHS = {ch: _glyph_bits(ch) for ch in CHARSET}
+# exact-match index: packed ink mask -> char
+_TEMPLATES = {g.tobytes(): ch for ch, g in _GLYPHS.items()}
+_TEMPLATE_LIST = [(g, ch) for ch, g in _GLYPHS.items()]
+
+
+def sanitize_text(text: str, cap: int = PAGE_CAP) -> str:
+    """The charset projection the oracle replays: non-printable-ASCII
+    code points become '?', truncated to the page capacity."""
+    return "".join(c if " " <= c <= "~" else "?" for c in text)[:cap]
+
+
+def render_page(text: str) -> np.ndarray:
+    """Rasterize sanitized text onto a white 64x128 canvas, ink=0, in
+    a fixed COLSxROWS character grid (space has a real glyph; cells
+    beyond the text stay blank, which is how the OCR pass finds the
+    end of the text)."""
+    canvas = np.full((ROWS * GLYPH, COLS * GLYPH), 255, np.uint8)
+    for i, ch in enumerate(text[:PAGE_CAP]):
+        r, c = divmod(i, COLS)
+        cell = canvas[r * GLYPH : (r + 1) * GLYPH, c * GLYPH : (c + 1) * GLYPH]
+        cell[_GLYPHS.get(ch, _GLYPHS["?"])] = 0
+    return canvas
+
+
+def ocr_page(img: np.ndarray) -> str:
+    """Recognize a rendered page: binarize at 128 (q=1 JPEG moves ink
+    0 -> <=2 and paper 255 -> >=253, so the threshold is exact), walk
+    the cell grid in reading order, stop at the first blank cell, and
+    match each ink mask exactly — falling back to nearest-Hamming if a
+    lossier channel ever perturbs a pixel across the threshold."""
+    ink = img < 128
+    out = []
+    for i in range(PAGE_CAP):
+        r, c = divmod(i, COLS)
+        cell = ink[r * GLYPH : (r + 1) * GLYPH, c * GLYPH : (c + 1) * GLYPH]
+        if not cell.any():
+            break
+        ch = _TEMPLATES.get(cell.tobytes())
+        if ch is None:
+            ch = min(_TEMPLATE_LIST, key=lambda t: np.count_nonzero(t[0] ^ cell))[1]
+        out.append(ch)
+    return "".join(out)
+
+
+def ocr_roundtrip_one(text: str) -> str:
+    """The full reference-shaped chain for one document."""
+    page = sanitize_text(text or "")
+    pdf = build_pdf([page] if page else [""])
+    extracted = extract_pdf_pages(pdf)
+    raster = render_page(extracted[0] if extracted else "")
+    jpeg = encode_baseline_jpeg(raster)
+    decoded = parse_jpeg(jpeg)
+    if decoded is None:
+        return ""
+    return ocr_page(decoded[3][:, :, 0])
+
+
+OCR_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_chars", IntegerType()),
+        StructField("recovered_text", StringType()),
+    ]
+)
+
+
+def _ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, n_chars, recovered = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            rec = ocr_roundtrip_one(text if isinstance(text, str) else "")
+            ids.append(int(doc_id))
+            n_chars.append(len(rec))
+            recovered.append(rec)
+        yield pd.DataFrame(
+            {"doc_id": ids, "n_chars": n_chars, "recovered_text": recovered}
+        )
+
+
+def ocr_roundtrip(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """text -> PDF -> parse -> raster -> JPEG -> decode -> OCR, one
+    Arrow-batched mapInPandas pass per document."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(_ocr_batches, schema=OCR_SCHEMA)
