@@ -1621,6 +1621,26 @@ FROM v GROUP BY doc_id, w, h, ch
 """
 
 
+def q_multimodal_png_interlaced(spark, sf_dir):
+    """Adam7-interlaced PNG decode (interlace method 1 — the variant
+    progressive-rendering web PNGs use): the same md5-formula pixels as
+    multimodal_png_decode, packed as seven independently-filtered
+    passes (empty passes included, which contribute no bytes at all per
+    the spec), scattered back onto the output grid by the decoder.
+    Decoded pixels are identical to the sequential blob's, so the
+    baseline entry's analytic oracle applies verbatim — any pass-
+    geometry, per-pass filter-state, or scatter defect breaks the same
+    value hash."""
+    from pdf_extraction_spark.operators.multimodal import (
+        decode_png,
+        synth_png_interlaced,
+    )
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    blobs = synth_png_interlaced(d, "doc_id")
+    return decode_png(blobs, "media_id", "blob")
+
+
 def q_multimodal_gif_decode(spark, sf_dir):
     """REAL compressed-image decode #2: spec-conformant GIF89a blobs
     (8-colour global table, a comment extension the parser must skip,
@@ -2561,6 +2581,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bmp_decode": q_multimodal_bmp_decode,
         "multimodal_wav_decode": q_multimodal_wav_decode,
         "multimodal_png_decode": q_multimodal_png_decode,
+        "multimodal_png_interlaced": q_multimodal_png_interlaced,
         "multimodal_gif_decode": q_multimodal_gif_decode,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
@@ -2619,6 +2640,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #                                 -> decode -> template OCR; the
 #                                 reference's scanned-PDF dataflow over
 #                                 the constrained synthetic subset
+#   multimodal_png_interlaced   — Adam7 decode, same analytic oracle as
+#                                 the sequential PNG entry
 _DRIVER_ORDER = [
     # never driver-checked in rounds 1-3 (verdict ask #2) — first
     "docs_rollup",
@@ -2744,6 +2767,7 @@ def all_oracles() -> dict[str, str]:
         "multimodal_bmp_decode": _ORACLE_BMP_DECODE,
         "multimodal_wav_decode": _ORACLE_WAV_DECODE,
         "multimodal_png_decode": _ORACLE_PNG_DECODE,
+        "multimodal_png_interlaced": _ORACLE_PNG_DECODE,
         "multimodal_gif_decode": _ORACLE_GIF_DECODE,
         "multimodal_jpeg_decode": _ORACLE_JPEG_DECODE,
         "multimodal_jpeg_progressive": _ORACLE_JPEG_DECODE,

@@ -580,6 +580,28 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _png_filter_row(row: bytes, prev: bytes, ft: int, bpp: int) -> bytes:
+    """Apply one PNG scanline filter; returns filter byte + filtered
+    bytes (the exact inverse of _png_unfilter's per-row step)."""
+    out = bytearray([ft])
+    for i, x in enumerate(row):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            f = x
+        elif ft == 1:
+            f = (x - a) & 0xFF
+        elif ft == 2:
+            f = (x - b) & 0xFF
+        elif ft == 3:
+            f = (x - (a + b) // 2) & 0xFF
+        else:
+            f = (x - _paeth(a, b, c)) & 0xFF
+        out.append(f)
+    return bytes(out)
+
+
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     return (
         len(body).to_bytes(4, "big")
@@ -601,28 +623,11 @@ def synth_png_bytes(media_id: int) -> bytes:
     w = media_id % 5 + 4
     h = media_id % 4 + 4
     ch = 3 + media_id % 2
-    bpp = ch  # bytes per pixel at bit depth 8
     raw_rows = [_png_row_bytes(media_id, j, w * ch) for j in range(h)]
     filtered = bytearray()
     prev = bytes(w * ch)
     for j, row in enumerate(raw_rows):
-        ft = j % 5
-        filtered.append(ft)
-        for i, x in enumerate(row):
-            a = row[i - bpp] if i >= bpp else 0
-            b = prev[i]
-            c = prev[i - bpp] if i >= bpp else 0
-            if ft == 0:
-                f = x
-            elif ft == 1:
-                f = (x - a) & 0xFF
-            elif ft == 2:
-                f = (x - b) & 0xFF
-            elif ft == 3:
-                f = (x - (a + b) // 2) & 0xFF
-            else:
-                f = (x - _paeth(a, b, c)) & 0xFF
-            filtered.append(f)
+        filtered += _png_filter_row(row, prev, j % 5, ch)
         prev = row
     comp = zlib.compress(bytes(filtered), 9)
     half = len(comp) // 2
@@ -641,59 +646,94 @@ def synth_png_bytes(media_id: int) -> bytes:
     )
 
 
-def parse_png(raw: bytes):
-    """Parse an 8-bit colour-type-2/6 PNG; returns (w, h, channels, rows)
-    with rows[j] = scanline j's raw (unfiltered) bytes, or None if the
-    blob is not a decodable PNG of that shape.  Verifies every chunk's
-    CRC32, concatenates all IDAT chunks into one zlib stream, and
-    inverts all five scanline filters."""
-    if len(raw) < 8 or raw[:8] != _PNG_SIG:
-        return None
-    pos, n = 8, len(raw)
-    w = h = ch = None
-    idat = bytearray()
-    while pos + 12 <= n:
-        length = int.from_bytes(raw[pos : pos + 4], "big")
-        ctype = raw[pos + 4 : pos + 8]
-        body = raw[pos + 8 : pos + 8 + length]
-        if len(body) < length:
-            return None
-        crc = int.from_bytes(raw[pos + 8 + length : pos + 12 + length], "big")
-        if (zlib.crc32(ctype + body) & 0xFFFFFFFF) != crc:
-            return None
-        if ctype == b"IHDR":
-            if length != 13:
-                return None
-            w = int.from_bytes(body[0:4], "big")
-            h = int.from_bytes(body[4:8], "big")
-            depth, colour, comp_m, filt_m, interlace = body[8:13]
-            if depth != 8 or colour not in (2, 6) or comp_m or filt_m or interlace:
-                return None
-            ch = 3 if colour == 2 else 4
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-        # any other chunk (ancillary or unknown): skip
-        pos += 12 + length
-    if not w or not h or not ch or not idat:
-        return None
-    try:
-        data = zlib.decompress(bytes(idat))
-    except zlib.error:
-        return None
-    stride = w * ch
-    if len(data) != h * (stride + 1):
-        return None
-    bpp = ch
+def synth_png_interlaced_bytes(media_id: int) -> bytes:
+    """The same md5-formula pixels as synth_png_bytes, packed as an
+    Adam7-interlaced PNG (interlace method 1): each non-empty pass is
+    filtered as an independent sub-image with the filter type cycling
+    over (pass + row) % 5, and the 4..8-pixel dims guarantee EMPTY
+    passes occur (e.g. w=4 leaves pass 2 with zero columns), which the
+    spec says contribute no bytes at all.  Decoded pixels are identical
+    to the sequential blob's, so the driver oracle applies verbatim."""
+    w = media_id % 5 + 4
+    h = media_id % 4 + 4
+    ch = 3 + media_id % 2
+    full = [_png_row_bytes(media_id, j, w * ch) for j in range(h)]
+    filtered = bytearray()
+    for pidx, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        prev = bytes(pw * ch)
+        for pj in range(ph):
+            y = y0 + pj * dy
+            row = b"".join(
+                full[y][(x0 + pi * dx) * ch : (x0 + pi * dx + 1) * ch]
+                for pi in range(pw)
+            )
+            filtered += _png_filter_row(row, prev, (pidx + pj) % 5, ch)
+            prev = row
+    comp = zlib.compress(bytes(filtered), 9)
+    half = len(comp) // 2
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2 if ch == 3 else 6, 0, 0, 1])  # interlace = Adam7
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tEXt", b"Comment\x00synthetic-adam7")
+        + _png_chunk(b"IDAT", comp[:half])
+        + _png_chunk(b"IDAT", comp[half:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_interlaced_synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": [int(m) for m in pdf["media_id"]],
+                "blob": [synth_png_interlaced_bytes(int(m)) for m in pdf["media_id"]],
+            }
+        )
+
+
+def synth_png_interlaced(df: DataFrame, id_col: str) -> DataFrame:
+    """(media_id, blob) with a real Adam7-interlaced PNG per id."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    return src.mapInPandas(
+        _png_interlaced_synth_batches, schema="media_id long, blob binary"
+    )
+
+
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass (PNG spec 8.2)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(data: bytes, off: int, h: int, stride: int, bpp: int):
+    """Invert the five scanline filters over ``h`` rows of
+    filter-byte-prefixed data starting at ``off``; returns the list of
+    raw rows, or None on a bad filter type.  The previous-row state
+    resets here — interlaced images filter each Adam7 pass as an
+    independent sub-image."""
     rows: list[bytes] = []
     prev = bytes(stride)
     for j in range(h):
-        off = j * (stride + 1)
-        ft = data[off]
+        base = off + j * (stride + 1)
+        ft = data[base]
         if ft > 4:
             return None
-        line = bytearray(data[off + 1 : off + 1 + stride])
+        line = bytearray(data[base + 1 : base + 1 + stride])
         if ft == 1:
             for i in range(bpp, stride):
                 line[i] = (line[i] + line[i - bpp]) & 0xFF
@@ -711,7 +751,86 @@ def parse_png(raw: bytes):
                 line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
         prev = bytes(line)
         rows.append(prev)
-    return w, h, ch, rows
+    return rows
+
+
+def parse_png(raw: bytes):
+    """Parse an 8-bit colour-type-2/6 PNG; returns (w, h, channels, rows)
+    with rows[j] = scanline j's raw (unfiltered) bytes, or None if the
+    blob is not a decodable PNG of that shape.  Verifies every chunk's
+    CRC32, concatenates all IDAT chunks into one zlib stream, and
+    inverts all five scanline filters.  Interlace method 1 (Adam7) is
+    supported: each of the seven passes unfilters as an independent
+    sub-image and scatters onto the output grid."""
+    if len(raw) < 8 or raw[:8] != _PNG_SIG:
+        return None
+    pos, n = 8, len(raw)
+    w = h = ch = None
+    interlace = 0
+    idat = bytearray()
+    while pos + 12 <= n:
+        length = int.from_bytes(raw[pos : pos + 4], "big")
+        ctype = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            return None
+        crc = int.from_bytes(raw[pos + 8 + length : pos + 12 + length], "big")
+        if (zlib.crc32(ctype + body) & 0xFFFFFFFF) != crc:
+            return None
+        if ctype == b"IHDR":
+            if length != 13:
+                return None
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, colour, comp_m, filt_m, interlace = body[8:13]
+            if depth != 8 or colour not in (2, 6) or comp_m or filt_m or interlace > 1:
+                return None
+            ch = 3 if colour == 2 else 4
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        # any other chunk (ancillary or unknown): skip
+        pos += 12 + length
+    if not w or not h or not ch or not idat:
+        return None
+    try:
+        data = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    bpp = ch
+    if not interlace:
+        if len(data) != h * (stride + 1):
+            return None
+        rows = _png_unfilter(data, 0, h, stride, bpp)
+        if rows is None:
+            return None
+        return w, h, ch, rows
+    # Adam7: unfilter each pass, scatter into the full-size grid
+    grid = [bytearray(stride) for _ in range(h)]
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass contributes no bytes at all
+        pstride = pw * ch
+        need = ph * (pstride + 1)
+        if off + need > len(data):
+            return None
+        prows = _png_unfilter(data, off, ph, pstride, bpp)
+        if prows is None:
+            return None
+        off += need
+        for pj, prow in enumerate(prows):
+            y = y0 + pj * dy
+            for pi in range(pw):
+                x = x0 + pi * dx
+                grid[y][x * ch : (x + 1) * ch] = prow[pi * ch : (pi + 1) * ch]
+    if off != len(data):
+        return None
+    return w, h, ch, [bytes(r) for r in grid]
 
 
 PNG_DECODE_SCHEMA = StructType(

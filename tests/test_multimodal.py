@@ -232,6 +232,75 @@ def test_png_roundtrip_all_variants():
             assert row == _png_row_bytes(mid, j, w * ch), (mid, j)
 
 
+def test_png_adam7_interlaced_matches_sequential():
+    """Adam7 decode scatters the seven independently-filtered passes
+    back to exactly the sequential image; the 4..8-pixel dims guarantee
+    empty passes occur (w=4 leaves pass 2 with zero columns), which
+    must contribute no bytes at all."""
+    from pdf_extraction_spark.operators.multimodal import (
+        _ADAM7,
+        parse_png,
+        synth_png_bytes,
+        synth_png_interlaced_bytes,
+    )
+
+    saw_empty_pass = False
+    for mid in range(24):
+        w, h = mid % 5 + 4, mid % 4 + 4
+        seq = parse_png(synth_png_bytes(mid))
+        inter = parse_png(synth_png_interlaced_bytes(mid))
+        assert inter is not None and inter == seq, mid
+        for x0, y0, dx, dy in _ADAM7:
+            if (w - x0 + dx - 1) // dx <= 0 or (h - y0 + dy - 1) // dy <= 0:
+                saw_empty_pass = True
+    assert saw_empty_pass  # the dims must actually exercise empty passes
+    # wire checks: interlace flag set, IDAT byte count differs from the
+    # sequential stream (passes re-filter independently)
+    blob = synth_png_interlaced_bytes(7)
+    ihdr = blob.index(b"IHDR")
+    assert blob[ihdr + 4 + 12] == 1  # interlace method byte
+
+
+def test_png_adam7_rejects_short_pass_data():
+    from pdf_extraction_spark.operators.multimodal import (
+        parse_png,
+        synth_png_interlaced_bytes,
+    )
+    import zlib as _z
+
+    blob = synth_png_interlaced_bytes(9)
+    # rebuild with the last pass's bytes chopped: must fail cleanly
+    i = blob.index(b"IDAT")
+    # collect both IDAT bodies
+    bodies = []
+    pos = 8
+    out = bytearray(blob[:8])
+    while pos + 12 <= len(blob):
+        ln = int.from_bytes(blob[pos : pos + 4], "big")
+        ctype = blob[pos + 4 : pos + 8]
+        body = blob[pos + 8 : pos + 8 + ln]
+        if ctype == b"IDAT":
+            bodies.append(body)
+        pos += 12 + ln
+    raw = _z.decompress(b"".join(bodies))
+    short = _z.compress(raw[:-3])
+    from pdf_extraction_spark.operators.multimodal import _png_chunk
+
+    pos = 8
+    while pos + 12 <= len(blob):
+        ln = int.from_bytes(blob[pos : pos + 4], "big")
+        ctype = blob[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            pass  # drop originals
+        elif ctype == b"IEND":
+            out += _png_chunk(b"IDAT", short)
+            out += blob[pos : pos + 12 + ln]
+        else:
+            out += blob[pos : pos + 12 + ln]
+        pos += 12 + ln
+    assert parse_png(bytes(out)) is None
+
+
 def test_png_rejects_corruption():
     """A flipped pixel byte breaks that chunk's CRC -> None (not garbage
     pixels); truncation and wrong signature are also rejected."""

@@ -109,6 +109,9 @@ def test_stateful_sessionize_matches_batch_for_closed_sessions(spark, tmp_path):
             (3, _t(0), 2, "view", 0.0),
         ],
     )
+    import time
+
+    time.sleep(1.1)  # distinct mtimes -> deterministic file->batch order
     _write_events(
         inp,
         "b2.parquet",
@@ -123,8 +126,6 @@ def test_stateful_sessionize_matches_batch_for_closed_sessions(spark, tmp_path):
     # state timeouts.  Poll the sink for the expected closed sessions,
     # then stop the query explicitly (and ALWAYS stop: a leaked query
     # would keep burning CPU under every later test).
-    import time
-
     q = (
         out.writeStream.format("memory")
         .queryName("sessions")
@@ -134,7 +135,9 @@ def test_stateful_sessionize_matches_batch_for_closed_sessions(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.monotonic() + 90
+        # generous: late in a full-suite run the JVM is under GC/codegen
+        # pressure and no-data timeout batches can lag well past 90 s
+        deadline = time.monotonic() + 240
         while time.monotonic() < deadline:
             if spark.sql("SELECT count(*) FROM sessions").collect()[0][0] >= 2:
                 break
