@@ -1694,6 +1694,68 @@ FROM v GROUP BY doc_id, w, h
 """
 
 
+def q_multimodal_gif_animated(spark, sf_dir):
+    """ANIMATED GIF decode: id%3+2 full-screen frames per blob, each
+    with a Graphic Control Extension (delay = (id+f)%100 cs, disposal
+    'leave'), plus the NETSCAPE2.0 looping application extension the
+    parser must sub-block-skip.  The decoder LZW-decodes and composites
+    every frame; stats span the whole animation (per-channel means over
+    all frames, final frame's top-left pixel, total delay).  The DuckDB
+    twin recomputes everything analytically from the md5 frame-index
+    and affine-palette formulas — a desync in ANY frame's LZW stream,
+    the GCE walk, or the compositing order breaks the value hash."""
+    from pdf_extraction_spark.operators.multimodal import (
+        decode_gif_animated,
+        synth_gif_animated,
+    )
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    blobs = synth_gif_animated(d, "doc_id")
+    return decode_gif_animated(blobs, "media_id", "blob")
+
+
+_ORACLE_GIF_ANIMATED = """
+WITH m AS (
+  SELECT doc_id, CAST(doc_id % 6 + 4 AS INT) AS w, CAST(doc_id % 5 + 4 AS INT) AS h,
+         CAST(doc_id % 3 + 2 AS INT) AS nf
+  FROM documents
+),
+fr AS (SELECT doc_id, w, h, nf, unnest(range(nf)) AS f FROM m),
+fh AS (
+  SELECT doc_id, w, h, nf, f,
+         md5(CAST(doc_id AS VARCHAR) || ':f' || CAST(f AS VARCHAR) || ':0')
+         || md5(CAST(doc_id AS VARCHAR) || ':f' || CAST(f AS VARCHAR) || ':1')
+         || md5(CAST(doc_id AS VARCHAR) || ':f' || CAST(f AS VARCHAR) || ':2')
+         || md5(CAST(doc_id AS VARCHAR) || ':f' || CAST(f AS VARCHAR) || ':3')
+         || md5(CAST(doc_id AS VARCHAR) || ':f' || CAST(f AS VARCHAR) || ':4') AS hx
+  FROM fr
+),
+px AS (SELECT doc_id, w, h, nf, f, hx, unnest(range(w*h)) AS p FROM fh),
+v AS (
+  SELECT doc_id, w, h, nf, f, p,
+         CAST(('0x' || substr(hx, CAST(p*2 + 1 AS INT), 2)) AS INT) % 8 AS idx
+  FROM px
+),
+rgb AS (
+  SELECT doc_id, w, h, nf, f, p,
+         (idx * 37 + doc_id) % 256 AS r,
+         (idx * 59 + 3 * doc_id) % 256 AS g,
+         (idx * 83 + 7 * doc_id) % 256 AS b
+  FROM v
+)
+SELECT doc_id AS media_id, w AS width, h AS height, nf AS n_frames,
+       CAST(sum(r) * 1000 // (w*h*nf) AS BIGINT) AS mean_r_milli,
+       CAST(sum(g) * 1000 // (w*h*nf) AS BIGINT) AS mean_g_milli,
+       CAST(sum(b) * 1000 // (w*h*nf) AS BIGINT) AS mean_b_milli,
+       CAST(max(CASE WHEN f = nf - 1 AND p = 0 THEN r END) AS INT) AS last_r,
+       CAST(max(CASE WHEN f = nf - 1 AND p = 0 THEN g END) AS INT) AS last_g,
+       CAST(max(CASE WHEN f = nf - 1 AND p = 0 THEN b END) AS INT) AS last_b,
+       CAST(sum(CASE WHEN p = 0 THEN (doc_id + f) % 100 ELSE 0 END) AS BIGINT) AS total_delay_cs,
+       CAST(1 AS INT) AS is_valid
+FROM rgb GROUP BY doc_id, w, h, nf
+"""
+
+
 def q_multimodal_jpeg_decode(spark, sf_dir):
     """REAL compressed-image decode #3: baseline JFIF (SOF0) blobs —
     the format the reference's raster path actually produces
@@ -2583,6 +2645,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_decode": q_multimodal_png_decode,
         "multimodal_png_interlaced": q_multimodal_png_interlaced,
         "multimodal_gif_decode": q_multimodal_gif_decode,
+        "multimodal_gif_animated": q_multimodal_gif_animated,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_jpeg_meta": q_multimodal_jpeg_meta,
@@ -2642,6 +2705,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #                                 the constrained synthetic subset
 #   multimodal_png_interlaced   — Adam7 decode, same analytic oracle as
 #                                 the sequential PNG entry
+#   multimodal_gif_animated     — multi-frame GIF decode (GCE delays,
+#                                 compositing, NETSCAPE ext), analytic
+#                                 whole-animation oracle
 _DRIVER_ORDER = [
     # never driver-checked in rounds 1-3 (verdict ask #2) — first
     "docs_rollup",
@@ -2769,6 +2835,7 @@ def all_oracles() -> dict[str, str]:
         "multimodal_png_decode": _ORACLE_PNG_DECODE,
         "multimodal_png_interlaced": _ORACLE_PNG_DECODE,
         "multimodal_gif_decode": _ORACLE_GIF_DECODE,
+        "multimodal_gif_animated": _ORACLE_GIF_ANIMATED,
         "multimodal_jpeg_decode": _ORACLE_JPEG_DECODE,
         "multimodal_jpeg_progressive": _ORACLE_JPEG_DECODE,
         "multimodal_jpeg_meta": _ORACLE_JPEG_META,

@@ -1095,6 +1095,177 @@ def synth_gif_bytes(media_id: int) -> bytes:
     return bytes(out)
 
 
+def _gif_frame_indices(media_id: int, f: int, n: int) -> bytes:
+    """Frame f's pixel indices: md5(id:f{f}:{t}) digests, byte % 8 —
+    analytically mirrored by the animated entry's oracle."""
+    need = (n + 15) // 16
+    raw = b"".join(
+        hashlib.md5(f"{media_id}:f{f}:{t}".encode()).digest() for t in range(need)
+    )
+    return bytes(b % 8 for b in raw[:n])
+
+
+def synth_gif_animated_bytes(media_id: int) -> bytes:
+    """A spec-conformant ANIMATED GIF89a: n = id%3+2 full-screen frames,
+    each preceded by a Graphic Control Extension carrying delay
+    (id+f)%100 cs and disposal 'leave in place', plus the NETSCAPE2.0
+    looping application extension real animated GIFs carry (an
+    application extension the parser must skip by sub-block walking).
+    Frame pixels come from the md5 formula in _gif_frame_indices and
+    the same affine palette as the single-frame entry."""
+    w = media_id % 6 + 4
+    h = media_id % 5 + 4
+    nframes = media_id % 3 + 2
+    pal = _gif_palette(media_id)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF2, 0, 0])
+    for r, g, b in pal:
+        out += bytes([r, g, b])
+    # NETSCAPE looping extension: app extension, 11-byte id, 3-byte data
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in range(nframes):
+        delay = (media_id + f) % 100
+        out += b"\x21\xf9\x04" + bytes([0x04]) + delay.to_bytes(2, "little")
+        out += b"\x00\x00"  # no transparency; then block terminator
+        out += b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += b"\x00" + bytes([3])
+        lzw = _lzw_encode(_gif_frame_indices(media_id, f, w * h), 3)
+        for i in range(0, len(lzw), 16):
+            chunk = lzw[i : i + 16]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _gif_read_image(raw: bytes, pos: int, palette, sw: int, sh: int):
+    """Read one image block (descriptor byte 0x2C already consumed):
+    returns (left, top, w, h, indices, palette, new_pos) or None."""
+    if pos + 9 > len(raw):
+        return None
+    left = int.from_bytes(raw[pos : pos + 2], "little")
+    top = int.from_bytes(raw[pos + 2 : pos + 4], "little")
+    w = int.from_bytes(raw[pos + 4 : pos + 6], "little")
+    h = int.from_bytes(raw[pos + 6 : pos + 8], "little")
+    iflags = raw[pos + 8]
+    pos += 9
+    if iflags & 0x40:  # interlaced: outside the supported subset
+        return None
+    pal = palette
+    if iflags & 0x80:
+        n = 2 << (iflags & 0x07)
+        chunk = raw[pos : pos + 3 * n]
+        if len(chunk) < 3 * n:
+            return None
+        pal = [tuple(chunk[i * 3 : i * 3 + 3]) for i in range(n)]
+        pos += 3 * n
+    if (
+        pal is None
+        or pos >= len(raw)
+        or not (1 <= w and 1 <= h and left + w <= sw and top + h <= sh)
+    ):
+        return None
+    mcs = raw[pos]
+    pos += 1
+    if not 2 <= mcs <= 8:
+        return None
+    lzw = bytearray()
+    while pos < len(raw) and raw[pos]:
+        ln = raw[pos]
+        block = raw[pos + 1 : pos + 1 + ln]
+        if len(block) < ln:
+            return None
+        lzw += block
+        pos += 1 + ln
+    pos += 1  # block terminator
+    indices = _lzw_decode(bytes(lzw), mcs, w * h)
+    if indices is None or len(indices) != w * h:
+        return None
+    if any(i >= len(pal) for i in indices):
+        return None
+    return left, top, w, h, indices, pal, pos
+
+
+def parse_gif_frames(raw: bytes):
+    """Parse ALL frames of an animated (or single-image) GIF87a/89a:
+    returns (sw, sh, frames) with frames = list of composited
+    (delay_cs, canvas) where canvas is the sw*sh row-major list of
+    (r, g, b) tuples AFTER applying that frame onto the accumulated
+    canvas.  Graphic Control Extensions supply per-frame delay,
+    transparency index (transparent pixels leave the canvas untouched)
+    and disposal: 0/1 leave, 2 restores the background colour over the
+    frame rect, 3 (restore-previous) restores the pre-frame canvas.
+    Returns None on any malformed block — containment over partial
+    output."""
+    if len(raw) < 13 or raw[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw = int.from_bytes(raw[6:8], "little")
+    sh = int.from_bytes(raw[8:10], "little")
+    flags = raw[10]
+    bg_index = raw[11]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        chunk = raw[pos : pos + 3 * n]
+        if len(chunk) < 3 * n:
+            return None
+        palette = [tuple(chunk[i * 3 : i * 3 + 3]) for i in range(n)]
+        pos += 3 * n
+    bg_rgb = palette[bg_index] if palette and bg_index < len(palette) else (0, 0, 0)
+    canvas = [bg_rgb] * (sw * sh)
+    frames = []
+    delay_cs = 0
+    transparent = None
+    disposal = 0
+    while pos < len(raw):
+        marker = raw[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            return (sw, sh, frames) if frames else None
+        if marker == 0x21:  # extension
+            if pos >= len(raw):
+                return None
+            label = raw[pos]
+            pos += 1
+            if label == 0xF9 and pos < len(raw) and raw[pos] == 4:
+                gflags = raw[pos + 1]
+                delay_cs = int.from_bytes(raw[pos + 2 : pos + 4], "little")
+                transparent = raw[pos + 4] if gflags & 0x01 else None
+                disposal = (gflags >> 2) & 0x07
+            while pos < len(raw) and raw[pos]:
+                pos += 1 + raw[pos]
+            pos += 1
+            continue
+        if marker != 0x2C:
+            return None
+        img = _gif_read_image(raw, pos, palette, sw, sh)
+        if img is None:
+            return None
+        left, top, w, h, indices, pal, pos = img
+        before = list(canvas)
+        for j in range(h):
+            base = (top + j) * sw + left
+            for i in range(w):
+                idx = indices[j * w + i]
+                if transparent is not None and idx == transparent:
+                    continue
+                canvas[base + i] = pal[idx]
+        frames.append((delay_cs, list(canvas)))
+        if disposal == 2:  # restore background over the frame rect
+            for j in range(h):
+                base = (top + j) * sw + left
+                for i in range(w):
+                    canvas[base + i] = bg_rgb
+        elif disposal == 3:  # restore previous canvas
+            canvas = before
+        delay_cs = 0
+        transparent = None
+        disposal = 0
+    return None  # missing trailer
+
+
 def parse_gif(raw: bytes):
     """Parse the first image of a GIF87a/89a; returns (w, h, pixels)
     with pixels = row-major (r, g, b) tuples after palette mapping, or
@@ -1129,41 +1300,10 @@ def parse_gif(raw: bytes):
             continue
         if marker != 0x2C:  # not an image descriptor
             return None
-        if pos + 9 > len(raw):
+        img = _gif_read_image(raw, pos, palette, sw, sh)
+        if img is None:
             return None
-        w = int.from_bytes(raw[pos + 4 : pos + 6], "little")
-        h = int.from_bytes(raw[pos + 6 : pos + 8], "little")
-        iflags = raw[pos + 8]
-        pos += 9
-        if iflags & 0x40:  # interlaced: outside the supported subset
-            return None
-        pal = palette
-        if iflags & 0x80:
-            n = 2 << (iflags & 0x07)
-            chunk = raw[pos : pos + 3 * n]
-            if len(chunk) < 3 * n:
-                return None
-            pal = [tuple(chunk[i * 3 : i * 3 + 3]) for i in range(n)]
-            pos += 3 * n
-        if pal is None or pos >= len(raw) or not (1 <= w <= sw and 1 <= h <= sh):
-            return None
-        mcs = raw[pos]
-        pos += 1
-        if not 2 <= mcs <= 8:
-            return None
-        lzw = bytearray()
-        while pos < len(raw) and raw[pos]:
-            ln = raw[pos]
-            block = raw[pos + 1 : pos + 1 + ln]
-            if len(block) < ln:
-                return None
-            lzw += block
-            pos += 1 + ln
-        indices = _lzw_decode(bytes(lzw), mcs, w * h)
-        if indices is None or len(indices) != w * h:
-            return None
-        if any(i >= len(pal) for i in indices):
-            return None
+        left, top, w, h, indices, pal, pos = img
         return w, h, [pal[i] for i in indices]
     return None
 
@@ -1241,3 +1381,88 @@ def decode_gif(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
         F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
     )
     return src.mapInPandas(_gif_decode_batches, schema=GIF_DECODE_SCHEMA)
+
+
+GIF_ANIM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("mean_r_milli", LongType()),
+        StructField("mean_g_milli", LongType()),
+        StructField("mean_b_milli", LongType()),
+        StructField("last_r", IntegerType()),
+        StructField("last_g", IntegerType()),
+        StructField("last_b", IntegerType()),
+        StructField("total_delay_cs", LongType()),
+        StructField("is_valid", IntegerType()),
+    ]
+)
+
+
+def _gif_anim_synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": [int(m) for m in pdf["media_id"]],
+                "blob": [synth_gif_animated_bytes(int(m)) for m in pdf["media_id"]],
+            }
+        )
+
+
+def synth_gif_animated(df: DataFrame, id_col: str) -> DataFrame:
+    """(media_id, blob) with a real animated GIF89a per id."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    return src.mapInPandas(
+        _gif_anim_synth_batches, schema="media_id long, blob binary"
+    )
+
+
+def _gif_anim_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {f.name: [] for f in GIF_ANIM_SCHEMA.fields}
+        for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+            parsed = parse_gif_frames(bytes(blob))
+            out["media_id"].append(int(mid))
+            if parsed is None:
+                for k in out:
+                    if k not in ("media_id", "is_valid"):
+                        out[k].append(None)
+                out["is_valid"].append(0)
+                continue
+            sw, sh, frames = parsed
+            sums = [0, 0, 0]
+            delay_total = 0
+            for delay_cs, canvas in frames:
+                delay_total += delay_cs
+                for r, g, b in canvas:
+                    sums[0] += r
+                    sums[1] += g
+                    sums[2] += b
+            npx = sw * sh * len(frames)
+            last = frames[-1][1][0]
+            out["width"].append(sw)
+            out["height"].append(sh)
+            out["n_frames"].append(len(frames))
+            out["mean_r_milli"].append(sums[0] * 1000 // npx)
+            out["mean_g_milli"].append(sums[1] * 1000 // npx)
+            out["mean_b_milli"].append(sums[2] * 1000 // npx)
+            out["last_r"].append(last[0])
+            out["last_g"].append(last[1])
+            out["last_b"].append(last[2])
+            out["total_delay_cs"].append(delay_total)
+            out["is_valid"].append(1)
+        yield pd.DataFrame(out)
+
+
+def decode_gif_animated(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """Multi-frame GIF decode (Arrow-batched mapInPandas): every frame
+    LZW-decoded and composited (GCE delay/transparency/disposal), then
+    whole-animation stats — frame count, per-channel means across all
+    composited frames, the final frame's top-left pixel, and the total
+    animation delay."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
+    )
+    return src.mapInPandas(_gif_anim_decode_batches, schema=GIF_ANIM_SCHEMA)

@@ -301,6 +301,100 @@ def test_png_adam7_rejects_short_pass_data():
     assert parse_png(bytes(out)) is None
 
 
+def _mini_gif(frames, sw=4, sh=2, bg=0):
+    """Hand-assemble an animated GIF: 4-colour global table, frames =
+    list of (gce_or_None, left, top, w, h, indices) with gce =
+    (disposal, delay_cs, transparent_index_or_None)."""
+    from pdf_extraction_spark.operators.multimodal import _lzw_encode
+
+    pal = [(10, 0, 0), (0, 20, 0), (0, 0, 30), (40, 40, 40)]
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0x81, bg, 0])  # global table, 4 entries
+    for rgb in pal:
+        out += bytes(rgb)
+    for gce, left, top, w, h, indices in frames:
+        if gce is not None:
+            disposal, delay, trans = gce
+            flags = (disposal << 2) | (1 if trans is not None else 0)
+            out += b"\x21\xf9\x04" + bytes([flags]) + delay.to_bytes(2, "little")
+            out += bytes([trans if trans is not None else 0]) + b"\x00"
+        out += b"\x2c" + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+        out += bytes([2])  # LZW min code size for a 4-colour table
+        lzw = _lzw_encode(bytes(indices), 2)
+        for i in range(0, len(lzw), 16):
+            chunk = lzw[i : i + 16]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out), pal
+
+
+def test_gif_animated_synth_roundtrip():
+    from pdf_extraction_spark.operators.multimodal import (
+        _gif_frame_indices,
+        _gif_palette,
+        parse_gif_frames,
+        synth_gif_animated_bytes,
+    )
+
+    for mid in range(12):
+        w, h, nf = mid % 6 + 4, mid % 5 + 4, mid % 3 + 2
+        parsed = parse_gif_frames(synth_gif_animated_bytes(mid))
+        assert parsed is not None
+        sw, sh, frames = parsed
+        assert (sw, sh, len(frames)) == (w, h, nf)
+        pal = _gif_palette(mid)
+        for f, (delay, canvas) in enumerate(frames):
+            assert delay == (mid + f) % 100
+            exp = [pal[i] for i in _gif_frame_indices(mid, f, w * h)]
+            assert canvas == exp, (mid, f)
+
+
+def test_gif_animated_compositing_transparency_and_disposal():
+    from pdf_extraction_spark.operators.multimodal import parse_gif_frames
+
+    P0, P1, P2, P3 = (10, 0, 0), (0, 20, 0), (0, 0, 30), (40, 40, 40)
+    blob, _ = _mini_gif(
+        [
+            # frame 1: full screen of palette 1, disposal 3 (restore prev)
+            ((3, 10, None), 0, 0, 4, 2, [1] * 8),
+            # frame 2: 1x1 rect at (1,0) of palette 2, disposal 2 over it
+            ((2, 5, None), 1, 0, 1, 1, [2]),
+            # frame 3: full screen, transparent index 0 - only the 3s land
+            ((0, 7, 0), 0, 0, 4, 2, [3, 0, 3, 0, 0, 3, 0, 3]),
+        ]
+    )
+    parsed = parse_gif_frames(blob)
+    assert parsed is not None
+    sw, sh, frames = parsed
+    assert (sw, sh, len(frames)) == (4, 2, 3)
+    assert [d for d, _ in frames] == [10, 5, 7]
+    # frame 1 canvas: all P1; disposal 3 then restores the bg canvas
+    assert frames[0][1] == [P1] * 8
+    # frame 2: bg everywhere (frame 1 was restore-previous) except (1,0)
+    exp2 = [P0] * 8
+    exp2[1] = P2
+    assert frames[1][1] == exp2
+    # frame 3: drawn over frame 2's canvas AFTER its disposal-2 cleared
+    # the (1,0) rect back to bg; transparent 0s leave the base visible
+    base = [P0] * 8
+    exp3 = [P3 if i in (0, 2, 5, 7) else base[i] for i in range(8)]
+    assert frames[2][1] == exp3
+
+
+def test_gif_animated_rejects_missing_trailer_and_bad_rect():
+    from pdf_extraction_spark.operators.multimodal import parse_gif_frames
+
+    blob, _ = _mini_gif([((0, 1, None), 0, 0, 4, 2, [1] * 8)])
+    assert parse_gif_frames(blob) is not None
+    assert parse_gif_frames(blob[:-1]) is None  # trailer gone
+    # frame rect exceeding the logical screen must be rejected
+    bad, _ = _mini_gif([((0, 1, None), 3, 0, 4, 2, [1] * 8)])
+    assert parse_gif_frames(bad) is None
+
+
 def test_png_rejects_corruption():
     """A flipped pixel byte breaks that chunk's CRC -> None (not garbage
     pixels); truncation and wrong signature are also rejected."""
