@@ -1944,6 +1944,26 @@ FROM documents
 """
 
 
+def q_extract_pdf_encrypted(spark, sf_dir):
+    """Text extraction from ENCRYPTED %PDF bytes: the standard security
+    handler with empty passwords (RC4 V1/R2 40-bit for even doc_ids,
+    V2/R3 128-bit for odd) — the open-for-anyone permissions-only
+    encryption legacy web PDFs carry.  The from-scratch parser verifies
+    /U with Algorithm 4/5, derives the file key (Algorithm 2 incl. the
+    R3 50-fold MD5), and RC4-decrypts every stream with its per-object
+    key before filters; layouts alternate xref table / xref stream /
+    ObjStm and every 7th id vandalizes startxref so scan recovery runs
+    THROUGH decryption.  The oracle is the same analytic identity as
+    extract_pdf_text — any key-derivation or decryption defect breaks
+    the value hash on every row."""
+    from pdf_extraction_spark.operators.pdf_text import (
+        extract_pdf_encrypted_roundtrip,
+    )
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_pdf_encrypted_roundtrip(d, "doc_id", "text")
+
+
 def q_multimodal_decode_fake(spark, sf_dir):
     """Stubbed pixel decode (fake=True deterministic stand-in; real decode
     raises NotImplementedError — no image libs in this container)."""
@@ -2650,6 +2670,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_jpeg_meta": q_multimodal_jpeg_meta,
         "ocr_raster_roundtrip": q_ocr_raster_roundtrip,
+        "extract_pdf_encrypted": q_extract_pdf_encrypted,
         "multimodal_decode_fake": q_multimodal_decode_fake,
         # relational coverage
         "pricing_summary": q_pricing_summary,
@@ -2708,6 +2729,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   multimodal_gif_animated     — multi-frame GIF decode (GCE delays,
 #                                 compositing, NETSCAPE ext), analytic
 #                                 whole-animation oracle
+#   extract_pdf_encrypted       — RC4 standard-security-handler PDFs
+#                                 (R2+R3, empty pw), same identity
+#                                 oracle as extract_pdf_text
 _DRIVER_ORDER = [
     # never driver-checked in rounds 1-3 (verdict ask #2) — first
     "docs_rollup",
@@ -2840,6 +2864,7 @@ def all_oracles() -> dict[str, str]:
         "multimodal_jpeg_progressive": _ORACLE_JPEG_DECODE,
         "multimodal_jpeg_meta": _ORACLE_JPEG_META,
         "ocr_raster_roundtrip": _ORACLE_OCR_ROUNDTRIP,
+        "extract_pdf_encrypted": _ORACLE_PDF_TEXT,
         "multimodal_decode_fake": _ORACLE_MM_DECODE,
         "pricing_summary": _ORACLE_PRICING,
         "top_customers": _ORACLE_TOP_CUSTOMERS,

@@ -110,3 +110,54 @@ def extract_pdf_roundtrip(df: DataFrame, id_col: str, text_col: str) -> DataFram
         F.col(text_col).cast("string").alias("text"),
     )
     return src.mapInPandas(_roundtrip_batches, schema=PDF_ROUNDTRIP_SCHEMA)
+
+
+def _encrypted_roundtrip_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf_batch in batches:
+        out = {
+            "doc_id": [],
+            "n_pages": [],
+            "page1_chars": [],
+            "n_chars": [],
+            "extracted_text": [],
+        }
+        for doc_id, text in zip(pdf_batch["doc_id"], pdf_batch["text"]):
+            doc_id = int(doc_id)
+            t = text if isinstance(text, str) else ""
+            half = len(t) // 2
+            blob = build_pdf(
+                [t[:half], t[half:]],
+                # both handler revisions; layouts alternate so decryption
+                # composes with xref streams, ObjStm packing (the whole
+                # packed payload is one encrypted stream), and — every
+                # 7th id — the damaged-xref scan recovery
+                encrypt="rc4-128" if doc_id % 2 else "rc4-40",
+                xref_stream=doc_id % 3 == 0,
+                use_objstm=doc_id % 6 == 0,
+            )
+            if doc_id % 7 == 3:
+                blob = _vandalize_startxref(blob)
+            pages = extract_pdf_pages(blob)
+            out["doc_id"].append(doc_id)
+            out["n_pages"].append(len(pages))
+            out["page1_chars"].append(len(pages[0]))
+            out["n_chars"].append(sum(len(p) for p in pages))
+            out["extracted_text"].append("".join(pages))
+        yield pd.DataFrame(out)
+
+
+def extract_pdf_encrypted_roundtrip(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Like extract_pdf_roundtrip, but every document is ENCRYPTED with
+    the standard security handler (RC4 V1/R2 40-bit for even ids,
+    V2/R3 128-bit for odd) and empty passwords — the parser must verify
+    /U, derive the file key, and RC4-decrypt every stream before any
+    filter runs."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).cast("string").alias("text"),
+    )
+    return src.mapInPandas(_encrypted_roundtrip_batches, schema=PDF_ROUNDTRIP_SCHEMA)

@@ -43,9 +43,103 @@ row-at-a-time Spark UDFs); nothing here touches Spark.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import struct
 import zlib
+
+# ---------------------------------------------------------------------------
+# standard security handler (encrypted PDFs): RC4, revisions 2 and 3 —
+# the 40/128-bit "password" encryption legacy web PDFs carry.  The
+# empty-user-password case (open-for-anyone, permissions-only) is the
+# one a crawl actually hits; non-empty passwords raise.  V4+/AES is out
+# of scope and raises (contained per document by the kernel's guard).
+# Strings are not separately decrypted: in this engine's subset all
+# text lives in (encrypted) content STREAMS, and the O/U entries of
+# the encryption dictionary itself are exempt by spec.
+# ---------------------------------------------------------------------------
+
+_PDF_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (its own inverse) — pure Python, no crypto libs."""
+    S = list(range(256))
+    j = 0
+    kl = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % kl]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pad_password(pw: bytes) -> bytes:
+    return (pw + _PDF_PAD)[:32]
+
+
+def _std_owner_entry(owner_pw: bytes, user_pw: bytes, rev: int, klen: int) -> bytes:
+    """Algorithm 3: the /O entry."""
+    h = hashlib.md5(_pad_password(owner_pw)).digest()
+    if rev >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:klen]).digest()
+    key = h[:klen]
+    o = _rc4(key, _pad_password(user_pw))
+    if rev >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _std_file_key(
+    user_pw: bytes, o_entry: bytes, perms: int, id0: bytes, rev: int, klen: int
+) -> bytes:
+    """Algorithm 2: the file encryption key."""
+    md = hashlib.md5()
+    md.update(_pad_password(user_pw))
+    md.update(o_entry)
+    md.update(struct.pack("<i", perms))
+    md.update(id0)
+    h = md.digest()
+    if rev >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:klen]).digest()
+    return h[:klen]
+
+
+def _std_user_entry(key: bytes, id0: bytes, rev: int) -> bytes:
+    """Algorithms 4 (R2) / 5 (R3): the /U entry."""
+    if rev == 2:
+        return _rc4(key, _PDF_PAD)
+    u = hashlib.md5(_PDF_PAD + id0).digest()
+    u = _rc4(key, u)
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    return u + b"\x00" * 16
+
+
+def _std_object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1: the per-object RC4 key (V1/V2)."""
+    md = hashlib.md5()
+    md.update(file_key)
+    md.update(num.to_bytes(3, "little"))
+    md.update(gen.to_bytes(2, "little"))
+    return md.digest()[: min(len(file_key) + 5, 16)]
+
 
 # ---------------------------------------------------------------------------
 # builder: real %PDF bytes from per-page text
@@ -110,6 +204,7 @@ def build_pdf(
     xref_stream: bool = False,
     use_objstm: bool = False,
     predictor: bool = False,
+    encrypt: str | None = None,
 ) -> bytes:
     """Emit a complete, spec-shaped PDF whose N pages show the given
     texts.  Each page text is split on ``\\n`` into shown lines (other
@@ -135,6 +230,12 @@ def build_pdf(
       << /Predictor 12 /Columns 7 >>``) to the xref stream rows before
       deflate — the layout Acrobat and most writers actually emit;
       requires ``xref_stream``.
+    * ``encrypt``: ``"rc4-40"`` (V1/R2) or ``"rc4-128"`` (V2/R3) applies
+      the standard security handler with EMPTY owner/user passwords —
+      the open-for-anyone permissions-only encryption legacy web PDFs
+      carry: every stream is RC4'd with its per-object key, the trailer
+      gains ``/Encrypt`` + ``/ID``, and the parser must verify ``/U``
+      and decrypt to read anything.
     """
     if (use_objstm or predictor) and not xref_stream:
         raise ValueError("use_objstm/predictor require xref_stream")
@@ -202,6 +303,38 @@ def build_pdf(
         ).encode("ascii")
         streams[objstm_id] = data
 
+    # standard security handler: RC4 every stream with its per-object
+    # key (lengths are preserved, so the /Length values above hold);
+    # the encryption dictionary itself is a top-level object (the spec
+    # forbids packing it into an ObjStm) and is never encrypted
+    enc_extra = b""
+    if encrypt:
+        if encrypt == "rc4-40":
+            v, rev, klen = 1, 2, 5
+        elif encrypt == "rc4-128":
+            v, rev, klen = 2, 3, 16
+        else:
+            raise ValueError("encrypt must be 'rc4-40' or 'rc4-128'")
+        perms = -44  # print+copy allowed, modify denied — a typical mask
+        id0 = hashlib.md5(
+            b"synthetic-pdf-id\x00"
+            + "\x00".join(pages).encode("utf-8", "surrogatepass")
+        ).digest()
+        o_entry = _std_owner_entry(b"", b"", rev, klen)
+        file_key = _std_file_key(b"", o_entry, perms, id0, rev, klen)
+        u_entry = _std_user_entry(file_key, id0, rev)
+        enc_id = max(max(objects), objstm_id) + 1
+        objects[enc_id] = (
+            f"<< /Filter /Standard /V {v} /R {rev} /Length {klen * 8}"
+            f" /P {perms} /O <{o_entry.hex()}> /U <{u_entry.hex()}> >>"
+        ).encode("ascii")
+        for snum in list(streams):
+            streams[snum] = _rc4(_std_object_key(file_key, snum), streams[snum])
+        idhex = id0.hex()
+        enc_extra = (
+            f" /Encrypt {enc_id} 0 R /ID [ <{idhex}> <{idhex}> ]".encode("ascii")
+        )
+
     out = bytearray()
     out += b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n" if xref_stream else (
         b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"
@@ -222,10 +355,9 @@ def build_pdf(
         out += b"0000000000 65535 f \n"
         for num in range(1, count):
             out += f"{offsets[num]:010d} 00000 n \n".encode("ascii")
-        out += (
-            f"trailer\n<< /Size {count} /Root 1 0 R >>\n"
-            f"startxref\n{xref_at}\n%%EOF\n"
-        ).encode("ascii")
+        out += f"trailer\n<< /Size {count} /Root 1 0 R".encode("ascii")
+        out += enc_extra
+        out += f" >>\nstartxref\n{xref_at}\n%%EOF\n".encode("ascii")
         return bytes(out)
 
     # PDF-1.5 cross-reference stream: /W [1 4 2] big-endian rows
@@ -256,15 +388,11 @@ def build_pdf(
     data = zlib.compress(bytes(rows), 9)
     out += f"{xref_id} 0 obj\n".encode("ascii")
     out += (
-        f"<< /Type /XRef /Size {count} /W [ 1 4 2 ] /Root 1 0 R"
-        f" /Filter /FlateDecode /Length {len(data)} >>".encode("ascii")
-        if not parms
-        else (
-            f"<< /Type /XRef /Size {count} /W [ 1 4 2 ] /Root 1 0 R"
-            f" /Filter /FlateDecode".encode("ascii")
-            + parms
-            + f" /Length {len(data)} >>".encode("ascii")
-        )
+        f"<< /Type /XRef /Size {count} /W [ 1 4 2 ] /Root 1 0 R".encode("ascii")
+        + enc_extra
+        + b" /Filter /FlateDecode"
+        + parms
+        + f" /Length {len(data)} >>".encode("ascii")
     )
     out += b"\nstream\n" + data + b"\nendstream\nendobj\n"
     out += f"startxref\n{xref_at}\n%%EOF\n".encode("ascii")
@@ -821,7 +949,50 @@ class _Document:
         self._cache: dict[int, object] = {}
         self._streams: dict[int, bytes] = {}
         self.in_objstm: dict[int, tuple[int, int]] = {}
+        self._enc_key: bytes | None = None
         self.offsets = self._load_xref()
+        self._init_encryption()
+
+    def _init_encryption(self) -> None:
+        """Activate the standard security handler when the trailer has
+        /Encrypt: verify the EMPTY user password against /U and derive
+        the file key.  Unsupported handlers/versions and non-empty
+        passwords raise (contained per document by the kernel guard).
+        Idempotent — the damaged-xref recovery path calls it early so
+        object streams it expands decrypt correctly."""
+        if self._enc_key is not None or not isinstance(self.trailer, dict):
+            return
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is None:
+            return
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict) or enc.get("Filter") != "Standard":
+            raise ValueError("pdf parse: unsupported encryption handler")
+        v = int(self.resolve(enc.get("V", 0)))
+        rev = int(self.resolve(enc.get("R", 0)))
+        if v not in (1, 2) or rev not in (2, 3):
+            raise ValueError("pdf parse: unsupported encryption version")
+        klen = int(self.resolve(enc.get("Length", 40))) // 8 if v == 2 else 5
+        if not 5 <= klen <= 16:
+            raise ValueError("pdf parse: bad key length")
+        o_entry = enc.get("O")
+        u_entry = enc.get("U")
+        if not isinstance(o_entry, bytes) or not isinstance(u_entry, bytes):
+            raise ValueError("pdf parse: bad O/U entries")
+        perms = int(self.resolve(enc.get("P", -1)))
+        ids = self.trailer.get("ID")
+        id0 = (
+            ids[0]
+            if isinstance(ids, list) and ids and isinstance(ids[0], bytes)
+            else b""
+        )
+        key = _std_file_key(b"", o_entry, perms, id0, rev, klen)
+        expect = _std_user_entry(key, id0, rev)
+        # R3 compares only the first 16 bytes (the tail is arbitrary)
+        ok = expect[:16] == u_entry[:16] if rev >= 3 else expect == u_entry[:32]
+        if not ok:
+            raise ValueError("pdf parse: password required")
+        self._enc_key = key
 
     # -- xref ---------------------------------------------------------------
 
@@ -962,6 +1133,24 @@ class _Document:
                         self.trailer = obj
                 except Exception:
                     pass
+            if not self.trailer.get("Root"):
+                # xref-stream files have no "trailer" keyword — the
+                # newest /Type /XRef dict is the trailer (/Root, and
+                # /Encrypt + /ID when the file is encrypted)
+                best = None
+                for num in offsets:
+                    try:
+                        o = self._load_at(offsets, num)
+                    except Exception:
+                        continue
+                    if isinstance(o, dict) and o.get("Type") == "XRef":
+                        if best is None or offsets[num] > best[0]:
+                            best = (offsets[num], o)
+                if best is not None:
+                    self.trailer = dict(best[1])
+            # activate decryption before expanding object streams the
+            # scan surfaced — their payloads are encrypted
+            self._init_encryption()
             # expand any object streams the scan surfaced (their packed
             # objects — often the catalog itself — have no top-level
             # "N G obj" header for the regex to find)
@@ -1058,11 +1247,19 @@ class _Document:
         obj = self.resolve(self.get(num))  # ensure loaded
         if num not in self._streams:
             raise ValueError(f"pdf parse: object {num} has no stream")
+        raw = self._streams[num]
+        if self._enc_key is not None and not (
+            isinstance(obj, dict) and obj.get("Type") == "XRef"
+        ):
+            # decrypt BEFORE filters; cross-reference streams are never
+            # encrypted (the spec exempts them — they must be readable
+            # to find the /Encrypt dictionary in the first place)
+            raw = _rc4(_std_object_key(self._enc_key, num), raw)
         filt = self.resolve(obj.get("Filter")) if isinstance(obj, dict) else None
         parms = (
             self.resolve(obj.get("DecodeParms")) if isinstance(obj, dict) else None
         )
-        return _decode_stream(self._streams[num], filt, parms, self.resolve)
+        return _decode_stream(raw, filt, parms, self.resolve)
 
     # -- page tree ----------------------------------------------------------
 

@@ -351,11 +351,71 @@ def test_hex_and_runlength_edge_cases():
 
 
 # ---------------------------------------------------------------------------
+# encrypted PDFs: the standard security handler (RC4 R2/R3, empty pw)
+# ---------------------------------------------------------------------------
+
+
+def test_rc4_canonical_vector():
+    """The classic public RC4 test vector (key 'Key' / 'Plaintext'),
+    plus the self-inverse property — pins the cipher core the whole
+    handler rests on."""
+    from pdf_extraction_spark.pdf_parse import _rc4
+
+    ct = _rc4(b"Key", b"Plaintext")
+    assert ct.hex() == "bbf316e8d940af0ad3"
+    assert _rc4(b"Key", ct) == b"Plaintext"
+
+
+def test_encrypted_roundtrip_matrix():
+    from pdf_extraction_spark.pdf_parse import build_pdf, extract_pdf_pages
+
+    pages = ["Encrypted page one\nwith lines", "página dos ✓"]
+    for enc in ("rc4-40", "rc4-128"):
+        for kw in (
+            {},
+            {"xref_stream": True},
+            {"xref_stream": True, "use_objstm": True, "predictor": True},
+            {"compress": False},
+            {"indirect_length": True},
+            {"compress": "lzw"},
+        ):
+            blob = build_pdf(pages, encrypt=enc, **kw)
+            assert extract_pdf_pages(blob) == pages, (enc, kw)
+            # ciphertext: the plaintext must not appear in the bytes
+            assert b"Encrypted page one" not in blob, (enc, kw)
+
+
+def test_encrypted_scan_recovery():
+    from pdf_extraction_spark.operators.pdf_text import _vandalize_startxref
+    from pdf_extraction_spark.pdf_parse import build_pdf, extract_pdf_pages
+
+    pages = ["alpha", "beta"]
+    for kw in ({}, {"xref_stream": True, "use_objstm": True}):
+        blob = build_pdf(pages, encrypt="rc4-128", **kw)
+        assert extract_pdf_pages(_vandalize_startxref(blob)) == pages, kw
+
+
+def test_encrypted_wrong_password_and_unsupported_rejected():
+    from pdf_extraction_spark.pdf_parse import build_pdf, extract_pdf_pages
+
+    blob = build_pdf(["x"], encrypt="rc4-40")
+    # corrupt /U: empty-password verification must fail loudly
+    i = blob.index(b"/U <")
+    bad = blob[: i + 4] + b"00" + blob[i + 6 :]
+    with pytest.raises(ValueError, match="password required"):
+        extract_pdf_pages(bad)
+    # bump /V to 4 (crypt filters / AES): unsupported, not mis-decrypted
+    j = blob.index(b"/V 1")
+    with pytest.raises(ValueError, match="unsupported encryption"):
+        extract_pdf_pages(blob[:j] + b"/V 4" + blob[j + 4 :])
+
+
+# ---------------------------------------------------------------------------
 # Property-based round trip over the FULL variant matrix.  The seeded fuzz
 # above predates the PDF-1.5 features; this drives hypothesis through every
 # builder knob at once (stream filter x indirect /Length x xref stream x
-# object streams x PNG predictor x vandalized startxref) so a regression in
-# any combination shrinks to a minimal failing document.
+# object streams x PNG predictor x vandalized startxref x encryption) so a
+# regression in any combination shrinks to a minimal failing document.
 # ---------------------------------------------------------------------------
 
 from hypothesis import given, settings
@@ -380,9 +440,11 @@ _filter = st.sampled_from([True, False, "flate", "lzw", "ahx", "a85", "rl"])
     use_objstm=st.booleans(),
     predictor=st.booleans(),
     vandalize=st.booleans(),
+    encrypt=st.sampled_from([None, "rc4-40", "rc4-128"]),
 )
 def test_round_trip_property_full_matrix(
-    pages, compress, indirect_length, xref_stream, use_objstm, predictor, vandalize
+    pages, compress, indirect_length, xref_stream, use_objstm, predictor, vandalize,
+    encrypt,
 ):
     data = build_pdf(
         pages,
@@ -393,6 +455,7 @@ def test_round_trip_property_full_matrix(
         # xref-stream features
         use_objstm=use_objstm and xref_stream,
         predictor=predictor and xref_stream,
+        encrypt=encrypt,
     )
     if vandalize:
         from pdf_extraction_spark.operators.pdf_text import _vandalize_startxref

@@ -106,6 +106,7 @@ def test_codec_entries_are_single_pass_no_shuffle(spark):
         "ocr_raster_roundtrip",
         "multimodal_png_interlaced",
         "multimodal_gif_animated",
+        "extract_pdf_encrypted",
     ):
         plan = _formatted_plan(qs[name](spark, "/root/testdata/sf0.001"))
         assert "MapInPandas" in plan or "ArrowEvalPython" in plan, (name, plan)
