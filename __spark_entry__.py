@@ -1944,6 +1944,55 @@ FROM documents
 """
 
 
+def q_multimodal_tiff_decode(spark, sf_dir):
+    """REAL TIFF 6.0 decode — the classic scanned-document container:
+    IFD walk in BOTH byte orders (II for even ids, MM for odd), inline
+    and offset tag values, multi-strip assembly with a partial last
+    strip (RowsPerStrip 2), and the baseline compressions cycling by
+    id % 3: uncompressed, PackBits, and TIFF-LZW + Predictor 2
+    (horizontal differencing) — the LZW core is the SAME code as the
+    PDF LZWDecode filter, which the spec defines identically.  The
+    DuckDB twin replays the md5 row formula analytically; any IFD,
+    strip, PackBits, LZW, or predictor defect breaks the value hash."""
+    from pdf_extraction_spark.operators.tiff import decode_tiff, synth_tiff
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    blobs = synth_tiff(d, "doc_id")
+    return decode_tiff(blobs, "media_id", "blob")
+
+
+_ORACLE_TIFF_DECODE = """
+WITH m AS (
+  SELECT doc_id, CAST(5 + doc_id % 6 AS INT) AS w, CAST(4 + doc_id % 5 AS INT) AS h
+  FROM documents
+),
+rows_ AS (SELECT doc_id, w, h, unnest(range(h)) AS j FROM m),
+rh AS (
+  SELECT doc_id, w, h, j,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':t' || CAST(j AS VARCHAR) || ':a')
+                || md5(CAST(doc_id AS VARCHAR) || ':t' || CAST(j AS VARCHAR) || ':b'),
+                1, w*3*2) AS hx
+  FROM rows_
+),
+b AS (SELECT doc_id, w, h, j, unnest(range(w*3)) AS k, hx FROM rh),
+v AS (
+  SELECT doc_id, w, h, j, k,
+         CAST(('0x' || substr(hx, CAST(k*2 + 1 AS INT), 2)) AS INT) AS val,
+         k % 3 AS chan
+  FROM b
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       CAST(sum(CASE WHEN chan = 0 THEN val END) * 1000 // (w*h) AS BIGINT) AS mean_r_milli,
+       CAST(sum(CASE WHEN chan = 1 THEN val END) * 1000 // (w*h) AS BIGINT) AS mean_g_milli,
+       CAST(sum(CASE WHEN chan = 2 THEN val END) * 1000 // (w*h) AS BIGINT) AS mean_b_milli,
+       CAST(max(CASE WHEN j = 0 AND k = 0 THEN val END) AS INT) AS tl_r,
+       CAST(max(CASE WHEN j = 0 AND k = 1 THEN val END) AS INT) AS tl_g,
+       CAST(max(CASE WHEN j = 0 AND k = 2 THEN val END) AS INT) AS tl_b,
+       CAST(1 AS INT) AS is_valid
+FROM v GROUP BY doc_id, w, h
+"""
+
+
 def q_extract_pdf_encrypted(spark, sf_dir):
     """Text extraction from ENCRYPTED %PDF bytes: the standard security
     handler with empty passwords (RC4 V1/R2 40-bit for even doc_ids,
@@ -2671,6 +2720,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_meta": q_multimodal_jpeg_meta,
         "ocr_raster_roundtrip": q_ocr_raster_roundtrip,
         "extract_pdf_encrypted": q_extract_pdf_encrypted,
+        "multimodal_tiff_decode": q_multimodal_tiff_decode,
         "multimodal_decode_fake": q_multimodal_decode_fake,
         # relational coverage
         "pricing_summary": q_pricing_summary,
@@ -2865,6 +2915,7 @@ def all_oracles() -> dict[str, str]:
         "multimodal_jpeg_meta": _ORACLE_JPEG_META,
         "ocr_raster_roundtrip": _ORACLE_OCR_ROUNDTRIP,
         "extract_pdf_encrypted": _ORACLE_PDF_TEXT,
+        "multimodal_tiff_decode": _ORACLE_TIFF_DECODE,
         "multimodal_decode_fake": _ORACLE_MM_DECODE,
         "pricing_summary": _ORACLE_PRICING,
         "top_customers": _ORACLE_TOP_CUSTOMERS,
