@@ -1944,6 +1944,34 @@ FROM documents
 """
 
 
+def q_extract_docx_text(spark, sf_dir):
+    """Text extraction from real .docx bytes — the other ubiquitous
+    document container: each document's text becomes a valid
+    WordprocessingML package (stdlib zipfile; two paragraphs, each
+    split into multiple runs, with w:pPr/w:proofErr noise real writers
+    emit), and the extractor must open the zip, parse the XML, join
+    runs, and invert w:br/w:tab back to newline/tab.  The oracle
+    replays only the XML-1.0 projection (C0 controls and carriage
+    returns -> '?', a 1:1 char map so lengths are analytic), making
+    extracted == sanitize(text) the identity any packaging or parsing
+    defect breaks."""
+    from pdf_extraction_spark.operators.docx_text import extract_docx_roundtrip
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_docx_roundtrip(d, "doc_id", "text")
+
+
+_ORACLE_DOCX_TEXT = r"""
+SELECT doc_id,
+       CAST(2 AS INT) AS n_paragraphs,
+       CAST(length(coalesce(text, '')) // 2 AS INT) AS para1_chars,
+       CAST(length(coalesce(text, '')) AS INT) AS n_chars,
+       regexp_replace(regexp_replace(coalesce(text, ''), '\r', '?', 'g'),
+                      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '?', 'g') AS extracted_text
+FROM documents
+"""
+
+
 def q_multimodal_tiff_decode(spark, sf_dir):
     """REAL TIFF 6.0 decode — the classic scanned-document container:
     IFD walk in BOTH byte orders (II for even ids, MM for odd), inline
@@ -2721,6 +2749,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_raster_roundtrip": q_ocr_raster_roundtrip,
         "extract_pdf_encrypted": q_extract_pdf_encrypted,
         "multimodal_tiff_decode": q_multimodal_tiff_decode,
+        "extract_docx_text": q_extract_docx_text,
         "multimodal_decode_fake": q_multimodal_decode_fake,
         # relational coverage
         "pricing_summary": q_pricing_summary,
@@ -2916,6 +2945,7 @@ def all_oracles() -> dict[str, str]:
         "ocr_raster_roundtrip": _ORACLE_OCR_ROUNDTRIP,
         "extract_pdf_encrypted": _ORACLE_PDF_TEXT,
         "multimodal_tiff_decode": _ORACLE_TIFF_DECODE,
+        "extract_docx_text": _ORACLE_DOCX_TEXT,
         "multimodal_decode_fake": _ORACLE_MM_DECODE,
         "pricing_summary": _ORACLE_PRICING,
         "top_customers": _ORACLE_TOP_CUSTOMERS,

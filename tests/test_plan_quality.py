@@ -108,6 +108,7 @@ def test_codec_entries_are_single_pass_no_shuffle(spark):
         "multimodal_gif_animated",
         "extract_pdf_encrypted",
         "multimodal_tiff_decode",
+        "extract_docx_text",
     ):
         plan = _formatted_plan(qs[name](spark, "/root/testdata/sf0.001"))
         assert "MapInPandas" in plan or "ArrowEvalPython" in plan, (name, plan)
