@@ -33,12 +33,14 @@ def main(argv=None) -> int:
                         "uncommitted groups in one pass; lower it to add "
                         "commit barriers on very long jobs)")
     p.add_argument("--cpus", type=int, default=None, help="local[N] cores")
-    p.add_argument("--format", choices=["parquet", "jsonl", "warc"],
+    p.add_argument("--format", choices=["parquet", "jsonl", "warc", "zip"],
                    default="parquet",
                    help="input format (jsonl carries html as base64; warc "
                         "reads Common-Crawl .warc/.warc.gz archives; large "
                         "uncompressed .warc files split into byte-range "
-                        "tasks — see sources/warc.py)")
+                        "tasks — see sources/warc.py; zip reads members of "
+                        ".zip corpora with per-member parallelism via the "
+                        "central directory — see sources/zipsource.py)")
     args = p.parse_args(argv)
 
     from pdf_extraction_spark.session import get_spark

@@ -189,6 +189,10 @@ def run_extraction(
         num_partitions = spark.sparkContext.defaultParallelism
     if input_format == "warc":
         pages = read_pages_warc(spark, pages_path)
+    elif input_format == "zip":
+        from pdf_extraction_spark.sources.zipsource import read_pages_zip
+
+        pages = read_pages_zip(spark, pages_path)
     elif input_format == "jsonl":
         pages = read_pages_jsonl(spark, pages_path)
     else:
@@ -227,7 +231,7 @@ def run_extraction(
         # its own source_file column must not hijack lineage
         file_expr = (
             F.col("source_file")
-            if input_format == "warc"
+            if input_format in ("warc", "zip")
             else F.input_file_name()
         )
         # per-file totals first: its row count IS the file count (no
