@@ -102,6 +102,43 @@ def test_spark_read_docs_zip(spark, tmp_path):
     assert df.rdd.getNumPartitions() > 1
 
 
+def test_pipeline_zip_format_end_to_end(spark, tmp_path):
+    """jobs/extract --format zip equivalent: run_extraction over a zip
+    corpus — byte-identity vs the oracle kernel, and lineage manifests
+    carry the ARCHIVE path (input_file_name() is empty on the
+    synthesized-rows plan, like the WARC source)."""
+    import json
+
+    from pdf_extraction_spark.plans.pipeline import run_extraction
+    from tests.oracle import oracle_document
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    html_a = "<html><body><p>zip doc alpha</p></body></html>"
+    html_b = "<html><body><p>zip doc beta</p></body></html>"
+    _make_zip(
+        str(d / "c.zip"),
+        [
+            ("a.html", html_a.encode(), zipfile.ZIP_DEFLATED),
+            ("b.html", html_b.encode(), zipfile.ZIP_STORED),
+        ],
+    )
+    out = str(tmp_path / "out")
+    run_extraction(spark, str(d), out, groups=1, input_format="zip")
+    m = json.load(open(os.path.join(out, "_manifests", "group-0.json")))
+    assert m["lineage"] and all(
+        r["input_file"].endswith("c.zip") for r in m["lineage"]
+    )
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(os.path.join(out, "group=*")).collect()
+    }
+    assert len(got) == 2
+    for name, html in [("a.html", html_a), ("b.html", html_b)]:
+        url = next(u for u in got if u.endswith("!" + name))
+        assert got[url] == oracle_document(url, html.encode(), html)["extracted_text"]
+
+
 def test_spark_pages_contract(spark, tmp_path):
     from pdf_extraction_spark.sources.pages import validate_pages_schema
 
