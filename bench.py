@@ -60,7 +60,16 @@ HEADLINE = [
     "multimodal_png_decode",
     "multimodal_gif_decode",
     "multimodal_jpeg_decode",
+    "multimodal_tiff_decode",
+    "extract_docx_text",
     "extract_pdf_text",
+    # NOT in the headline (deliberate slow paths whose cost is the
+    # documented point, not a regression): multimodal_jpeg_progressive
+    # (~1.7 ms/image multi-scan round trip), multimodal_jpeg_meta (the
+    # probe is microseconds; its MIXED synth encodes half the blobs
+    # progressively), ocr_raster_roundtrip (~17 ms/doc full chain),
+    # extract_pdf_encrypted (pure-Python RC4 over every stream).  All
+    # four stay value-checked by scripts/check_oracle.py --all.
     "pricing_summary",
     "top_customers",
     "window_top_events",
