@@ -1944,6 +1944,54 @@ FROM documents
 """
 
 
+def q_multimodal_ico_decode(spark, sf_dir):
+    """REAL favicon (.ico) decode — a crawl's most common image blob:
+    directory walk over two entries per icon, one headerless 32-bit
+    BGRA DIB (doubled-height BITMAPINFOHEADER, bottom-up XOR block,
+    legacy AND mask length-checked) and one complete PNG file (modern
+    favicons embed PNG; decode dispatches to the real PNG codec).  The
+    DuckDB twin recomputes the DIB stats from the md5 RGBA row formula
+    and the PNG dims analytically — a directory, offset, BGRA-order,
+    bottom-up, or PNG-dispatch defect breaks the value hash."""
+    from pdf_extraction_spark.operators.ico import decode_ico, synth_ico
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    blobs = synth_ico(d, "doc_id")
+    return decode_ico(blobs, "media_id", "blob")
+
+
+_ORACLE_ICO_DECODE = """
+WITH m AS (
+  SELECT doc_id, CAST(doc_id % 5 + 4 AS INT) AS w, CAST(doc_id % 4 + 4 AS INT) AS h
+  FROM documents
+),
+rows_ AS (SELECT doc_id, w, h, unnest(range(h)) AS j FROM m),
+rh AS (
+  SELECT doc_id, w, h, j,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':i' || CAST(j AS VARCHAR) || ':a')
+                || md5(CAST(doc_id AS VARCHAR) || ':i' || CAST(j AS VARCHAR) || ':b'),
+                1, w*4*2) AS hx
+  FROM rows_
+),
+b AS (SELECT doc_id, w, h, j, unnest(range(w*4)) AS k, hx FROM rh),
+v AS (
+  SELECT doc_id, w, h,
+         CAST(('0x' || substr(hx, CAST(k*2 + 1 AS INT), 2)) AS INT) AS val,
+         k % 4 AS chan
+  FROM b
+)
+SELECT doc_id AS media_id, CAST(2 AS INT) AS n_images,
+       w AS dib_width, h AS dib_height,
+       CAST(sum(CASE WHEN chan = 0 THEN val END) * 1000 // (w*h) AS BIGINT) AS mean_r_milli,
+       CAST(sum(CASE WHEN chan = 1 THEN val END) * 1000 // (w*h) AS BIGINT) AS mean_g_milli,
+       CAST(sum(CASE WHEN chan = 2 THEN val END) * 1000 // (w*h) AS BIGINT) AS mean_b_milli,
+       CAST(sum(CASE WHEN chan = 3 THEN val END) * 1000 // (w*h) AS BIGINT) AS mean_a_milli,
+       w AS png_width, h AS png_height,
+       CAST(1 AS INT) AS is_valid
+FROM v GROUP BY doc_id, w, h
+"""
+
+
 def q_extract_docx_text(spark, sf_dir):
     """Text extraction from real .docx bytes — the other ubiquitous
     document container: each document's text becomes a valid
@@ -2750,6 +2798,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_encrypted": q_extract_pdf_encrypted,
         "multimodal_tiff_decode": q_multimodal_tiff_decode,
         "extract_docx_text": q_extract_docx_text,
+        "multimodal_ico_decode": q_multimodal_ico_decode,
         "multimodal_decode_fake": q_multimodal_decode_fake,
         # relational coverage
         "pricing_summary": q_pricing_summary,
@@ -2811,6 +2860,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   extract_pdf_encrypted       — RC4 standard-security-handler PDFs
 #                                 (R2+R3, empty pw), same identity
 #                                 oracle as extract_pdf_text
+#   multimodal_tiff_decode      — TIFF IFD walk, PackBits + TIFF-LZW
+#   extract_docx_text           — WordprocessingML extraction
+#   multimodal_ico_decode       — favicon directory: DIB + embedded PNG
 _DRIVER_ORDER = [
     # never driver-checked in rounds 1-3 (verdict ask #2) — first
     "docs_rollup",
@@ -2946,6 +2998,7 @@ def all_oracles() -> dict[str, str]:
         "extract_pdf_encrypted": _ORACLE_PDF_TEXT,
         "multimodal_tiff_decode": _ORACLE_TIFF_DECODE,
         "extract_docx_text": _ORACLE_DOCX_TEXT,
+        "multimodal_ico_decode": _ORACLE_ICO_DECODE,
         "multimodal_decode_fake": _ORACLE_MM_DECODE,
         "pricing_summary": _ORACLE_PRICING,
         "top_customers": _ORACLE_TOP_CUSTOMERS,
