@@ -1944,6 +1944,45 @@ FROM documents
 """
 
 
+def q_multimodal_mp4_meta(spark, sf_dir):
+    """Header-only MP4/ISO-BMFF probe — the video analogue of the JPEG
+    SOF/Exif probe: walk the box tree (32-bit AND 64-bit large-size
+    boxes; unknown boxes like `free` skipped by size), read moov/mvhd
+    for timescale+duration and each trak/tkhd for dims, never touch
+    mdat.  At 100 TB this is a few hundred ranged-read bytes per video
+    instead of a decode.  Synthesized shells vary timescale, duration,
+    track count and dims analytically; every 3rd id's first tkhd uses
+    the large-size form so both walker paths run under the oracle."""
+    from pdf_extraction_spark.operators.mp4 import probe_mp4_df, synth_mp4
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    blobs = synth_mp4(d, "doc_id")
+    return probe_mp4_df(blobs, "media_id", "blob")
+
+
+_ORACLE_MP4_META = """
+WITH m AS (
+  SELECT doc_id,
+         1000 + doc_id % 5 * 200 AS timescale,
+         doc_id % 900 + 100 AS dur,
+         CAST(doc_id % 2 + 1 AS INT) AS nt,
+         320 + doc_id % 4 * 160 AS w0,
+         320 + (doc_id + 1) % 4 * 160 AS w1,
+         180 + doc_id % 3 * 90 AS h0,
+         180 + (doc_id + 1) % 3 * 90 AS h1
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       'isom' AS brand,
+       CAST(dur * 1000 // timescale AS BIGINT) AS duration_ms,
+       nt AS n_tracks,
+       CAST(CASE WHEN nt = 2 THEN GREATEST(w0, w1) ELSE w0 END AS INT) AS max_width,
+       CAST(CASE WHEN nt = 2 THEN GREATEST(h0, h1) ELSE h0 END AS INT) AS max_height,
+       CAST(1 AS INT) AS is_valid
+FROM m
+"""
+
+
 def q_multimodal_ico_decode(spark, sf_dir):
     """REAL favicon (.ico) decode — a crawl's most common image blob:
     directory walk over two entries per icon, one headerless 32-bit
@@ -2799,6 +2838,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_tiff_decode": q_multimodal_tiff_decode,
         "extract_docx_text": q_extract_docx_text,
         "multimodal_ico_decode": q_multimodal_ico_decode,
+        "multimodal_mp4_meta": q_multimodal_mp4_meta,
         "multimodal_decode_fake": q_multimodal_decode_fake,
         # relational coverage
         "pricing_summary": q_pricing_summary,
@@ -2863,6 +2903,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   multimodal_tiff_decode      — TIFF IFD walk, PackBits + TIFF-LZW
 #   extract_docx_text           — WordprocessingML extraction
 #   multimodal_ico_decode       — favicon directory: DIB + embedded PNG
+#   multimodal_mp4_meta         — ISO-BMFF box-walk metadata probe
 _DRIVER_ORDER = [
     # never driver-checked in rounds 1-3 (verdict ask #2) — first
     "docs_rollup",
@@ -2999,6 +3040,7 @@ def all_oracles() -> dict[str, str]:
         "multimodal_tiff_decode": _ORACLE_TIFF_DECODE,
         "extract_docx_text": _ORACLE_DOCX_TEXT,
         "multimodal_ico_decode": _ORACLE_ICO_DECODE,
+        "multimodal_mp4_meta": _ORACLE_MP4_META,
         "multimodal_decode_fake": _ORACLE_MM_DECODE,
         "pricing_summary": _ORACLE_PRICING,
         "top_customers": _ORACLE_TOP_CUSTOMERS,

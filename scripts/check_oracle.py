@@ -4,8 +4,8 @@ column names, and order-insensitive values.
 
 Usage: python scripts/check_oracle.py [--all] [sf_dir] [query ...]
 
---all checks the FULL registry (all_queries/all_oracles, 70 entries)
-instead of the 50-entry driver-facing queries() surface — the 20 entries
+--all checks the FULL registry (all_queries/all_oracles, 71 entries)
+instead of the 50-entry driver-facing queries() surface — the 21 entries
 past the driver snapshot cap stay value-checked even though the driver
 never snapshots them.
 """

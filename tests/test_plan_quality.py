@@ -110,6 +110,7 @@ def test_codec_entries_are_single_pass_no_shuffle(spark):
         "multimodal_tiff_decode",
         "extract_docx_text",
         "multimodal_ico_decode",
+        "multimodal_mp4_meta",
     ):
         plan = _formatted_plan(qs[name](spark, "/root/testdata/sf0.001"))
         assert "MapInPandas" in plan or "ArrowEvalPython" in plan, (name, plan)
