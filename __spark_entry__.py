@@ -2054,7 +2054,7 @@ SELECT doc_id,
        CAST(length(coalesce(text, '')) // 2 AS INT) AS para1_chars,
        CAST(length(coalesce(text, '')) AS INT) AS n_chars,
        regexp_replace(regexp_replace(coalesce(text, ''), '\r', '?', 'g'),
-                      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '?', 'g') AS extracted_text
+                      '[\x00-\x08\x0B\x0C\x0E-\x1F\x{FFFE}\x{FFFF}]', '?', 'g') AS extracted_text
 FROM documents
 """
 

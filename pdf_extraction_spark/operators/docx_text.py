@@ -54,14 +54,17 @@ _RELS = (
     "</Relationships>"
 )
 
-# characters XML 1.0 cannot represent at all (escaped or not)
-_XML_ILLEGAL = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+# characters XML 1.0 cannot represent at all (escaped or not): C0
+# controls other than tab/newline, and the BMP noncharacters U+FFFE/
+# U+FFFF (the Char production ends at #xFFFD in the BMP; astral
+# noncharacters ARE in #x10000-#x10FFFF and survive)
+_XML_ILLEGAL = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\ufffe\uffff]")
 
 
 def sanitize_for_xml(text: str) -> str:
-    """The projection the oracle replays: C0 controls other than
-    tab/newline become '?' (\\r is in the illegal-for-round-trip set
-    too: XML writers normalize it away, so it cannot survive)."""
+    """The projection the oracle replays: XML-1.0-invalid characters
+    become '?' (\\r is in the illegal-for-round-trip set too: XML
+    writers normalize it away, so it cannot survive)."""
     return _XML_ILLEGAL.sub("?", text.replace("\r", "?"))
 
 

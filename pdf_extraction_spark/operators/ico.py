@@ -38,9 +38,9 @@ def _ico_dib_dims(media_id: int) -> tuple[int, int]:
 
 def _ico_row_bytes(media_id: int, j: int, n: int) -> bytes:
     """Top-down row j's RGBA bytes (the oracle's formula)."""
-    a = hashlib.md5(f"{media_id}:i{j}:a".encode()).digest()
-    b = hashlib.md5(f"{media_id}:i{j}:b".encode()).digest()
-    return (a + b)[:n]
+    from pdf_extraction_spark.operators.multimodal import md5_row_bytes
+
+    return md5_row_bytes(media_id, "i", j, n)
 
 
 def _build_dib_entry(media_id: int) -> bytes:

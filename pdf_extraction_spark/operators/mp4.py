@@ -108,12 +108,17 @@ def probe_mp4(raw: bytes):
                 for ctype, c0, c1 in _walk_boxes(raw, p0, p1):
                     if ctype == b"mvhd" and c1 - c0 >= 20:
                         version = raw[c0]
+                        # v0 needs 20 payload bytes, v1 (64-bit times)
+                        # needs 32 — a short v1 box must be rejected,
+                        # not read past its end into the next box
                         if version == 0:
                             timescale = int.from_bytes(raw[c0 + 12 : c0 + 16], "big")
                             dur = int.from_bytes(raw[c0 + 16 : c0 + 20], "big")
-                        else:  # version 1: 64-bit times
+                        elif version == 1 and c1 - c0 >= 32:
                             timescale = int.from_bytes(raw[c0 + 20 : c0 + 24], "big")
                             dur = int.from_bytes(raw[c0 + 24 : c0 + 32], "big")
+                        else:
+                            continue
                         if timescale:
                             duration_ms = dur * 1000 // timescale
                     elif ctype == b"trak":

@@ -562,12 +562,18 @@ def decode_wav(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _png_row_bytes(media_id: int, j: int, n: int) -> bytes:
-    """Row j's raw pixel bytes: md5(id:pj:a) || md5(id:pj:b) truncated to
-    n bytes — the same formula the DuckDB oracle reconstructs."""
-    a = hashlib.md5(f"{media_id}:p{j}:a".encode()).digest()
-    b = hashlib.md5(f"{media_id}:p{j}:b".encode()).digest()
+def md5_row_bytes(media_id: int, tag: str, j: int, n: int) -> bytes:
+    """Row j's raw bytes for a synthetic image: md5(id:{tag}{j}:a) ||
+    md5(id:{tag}{j}:b) truncated to n bytes — ONE implementation of the
+    formula every codec synthesizer and its DuckDB oracle share (tags:
+    'p' PNG, 'i' ICO, 't' TIFF)."""
+    a = hashlib.md5(f"{media_id}:{tag}{j}:a".encode()).digest()
+    b = hashlib.md5(f"{media_id}:{tag}{j}:b".encode()).digest()
     return (a + b)[:n]
+
+
+def _png_row_bytes(media_id: int, j: int, n: int) -> bytes:
+    return md5_row_bytes(media_id, "p", j, n)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -1229,13 +1235,18 @@ def parse_gif_frames(raw: bytes):
                 return None
             label = raw[pos]
             pos += 1
-            if label == 0xF9 and pos < len(raw) and raw[pos] == 4:
+            # GCE payload is 5 bytes (size, flags, delay lo/hi, transparent
+            # index); bounds-check before reading — a truncated blob must
+            # return None (containment), never raise
+            if label == 0xF9 and pos + 5 <= len(raw) and raw[pos] == 4:
                 gflags = raw[pos + 1]
                 delay_cs = int.from_bytes(raw[pos + 2 : pos + 4], "little")
                 transparent = raw[pos + 4] if gflags & 0x01 else None
                 disposal = (gflags >> 2) & 0x07
             while pos < len(raw) and raw[pos]:
                 pos += 1 + raw[pos]
+            if pos >= len(raw):
+                return None  # truncated inside the sub-block chain
             pos += 1
             continue
         if marker != 0x2C:
@@ -1244,7 +1255,8 @@ def parse_gif_frames(raw: bytes):
         if img is None:
             return None
         left, top, w, h, indices, pal, pos = img
-        before = list(canvas)
+        # the pre-frame snapshot is only needed for disposal 3
+        before = list(canvas) if disposal == 3 else None
         for j in range(h):
             base = (top + j) * sw + left
             for i in range(w):

@@ -211,9 +211,9 @@ def _tiff_dims(media_id: int) -> tuple[int, int]:
 
 
 def _tiff_row_bytes(media_id: int, j: int, n: int) -> bytes:
-    a = hashlib.md5(f"{media_id}:t{j}:a".encode()).digest()
-    b = hashlib.md5(f"{media_id}:t{j}:b".encode()).digest()
-    return (a + b)[:n]
+    from pdf_extraction_spark.operators.multimodal import md5_row_bytes
+
+    return md5_row_bytes(media_id, "t", j, n)
 
 
 def synth_tiff_bytes(media_id: int) -> bytes:

@@ -59,7 +59,9 @@ def list_zip_entries(path: str, file_length: int) -> list[tuple[str, int, int, i
         tail_len = min(file_length, 22 + 65535)
         f.seek(file_length - tail_len)
         tail = f.read(tail_len)
-        at = tail.rfind(_EOCD_SIG)
+        # the full EOCD record is 22 bytes; a signature closer to EOF
+        # than that is not a record (search bounded so at + 22 fits)
+        at = tail.rfind(_EOCD_SIG, 0, len(tail) - 18)
         if at < 0:
             raise ValueError(f"zip source: no end-of-central-directory in {path}")
         (

@@ -48,6 +48,15 @@ def test_roundtrip_property(paras):
     ]
 
 
+def test_bmp_noncharacters_sanitized():
+    """Review regression: U+FFFE/U+FFFF are outside XML 1.0's Char
+    production — expat rejects a document carrying them, so they must
+    sanitize to '?' like the C0 controls (and the entry's oracle
+    replays the same class)."""
+    assert extract_docx_paragraphs(build_docx(["a￾b￿c"])) == ["a?b?c"]
+    assert sanitize_for_xml("￾￿") == "??"
+
+
 def test_package_is_a_real_zip_with_required_parts():
     blob = build_docx(["content"])
     assert blob[:2] == b"PK"

@@ -51,6 +51,18 @@ def test_mvhd_version1_64bit_times():
     assert probe_mp4(blob) == ("mp42", 1500 * 1000 // 500, 1, 640, 360)
 
 
+def test_short_v1_mvhd_rejected_not_misread():
+    """Review regression: a version-1 mvhd with only the v0-sized 20
+    bytes must not read the NEXT box's bytes as a 64-bit duration."""
+    def box(t, p):
+        return struct.pack(">I", 8 + len(p)) + t + p
+
+    short_mvhd = struct.pack(">BxxxQQ", 1, 0, 0) + b"\x00" * 3  # 20 bytes
+    moov = box(b"moov", box(b"mvhd", short_mvhd) + box(b"free", b"\xff" * 32))
+    blob = box(b"ftyp", b"isom" + b"\x00" * 8) + moov
+    assert probe_mp4(blob) is None  # no usable duration -> invalid
+
+
 def test_rejections():
     assert probe_mp4(b"") is None
     assert probe_mp4(b"\x00\x00\x00\x08ftyp") is None  # no moov

@@ -384,6 +384,24 @@ def test_gif_animated_compositing_transparency_and_disposal():
     assert frames[2][1] == exp3
 
 
+def test_gif_animated_truncation_contained_not_raised():
+    """A blob cut anywhere inside the stream must return None — an
+    IndexError would kill the whole Spark task instead of emitting
+    is_valid=0 (review regression: truncation inside a GCE)."""
+    from pdf_extraction_spark.operators.multimodal import (
+        parse_gif_frames,
+        synth_gif_animated_bytes,
+    )
+
+    blob = synth_gif_animated_bytes(1)
+    gce = blob.index(b"\x21\xf9\x04")
+    for cut in (gce + 1, gce + 3, gce + 5):
+        assert parse_gif_frames(blob[:cut]) is None
+    # sweep: EVERY prefix either parses or returns None, never raises
+    for cut in range(0, len(blob), 7):
+        parse_gif_frames(blob[:cut])
+
+
 def test_gif_animated_rejects_missing_trailer_and_bad_rect():
     from pdf_extraction_spark.operators.multimodal import parse_gif_frames
 

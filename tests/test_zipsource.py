@@ -76,6 +76,13 @@ def test_encrypted_and_corrupt_rejected(tmp_path):
     open(p3, "wb").write(b"not a zip" * 10)
     with pytest.raises(ValueError, match="end-of-central-directory"):
         list_zip_entries(p3, 90)
+    # review regression: an EOCD signature too close to EOF for a full
+    # 22-byte record must raise the documented ValueError, not a
+    # struct.error from a short unpack
+    p3b = str(tmp_path / "shortsig.zip")
+    open(p3b, "wb").write(b"x" * 40 + b"PK\x05\x06" + b"\x00" * 5)
+    with pytest.raises(ValueError, match="end-of-central-directory"):
+        list_zip_entries(p3b, 49)
     # a local header that disagrees with the central directory
     entries = list_zip_entries(p, ln)
     name, off, csize, usize, method = entries[0]
