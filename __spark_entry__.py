@@ -1983,6 +1983,43 @@ FROM m
 """
 
 
+def q_multimodal_mp3_meta(spark, sf_dir):
+    """Header-only MP3 probe — the audio analogue of the MP4 box walk:
+    skip the ID3v2 tag (syncsafe size), confirm the first MPEG-1
+    Layer III frame sync against the NEXT frame (anti-false-sync), then
+    walk frame headers (4 bytes each state their own length) for an
+    exact frame count and duration (1152 samples/frame), stopping
+    cleanly at the trailing ID3v1 'TAG' block.  No decode anywhere.
+    Synthesized streams vary bitrate/sample-rate/frame-count
+    analytically; the padding bit alternates per frame so the walk must
+    honour per-frame lengths, and the DuckDB twin replays the
+    formulas."""
+    from pdf_extraction_spark.operators.mp3 import probe_mp3_df, synth_mp3
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    blobs = synth_mp3(d, "doc_id")
+    return probe_mp3_df(blobs, "media_id", "blob")
+
+
+_ORACLE_MP3_META = """
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 192 ELSE 320 END AS br,
+         CASE doc_id % 5 % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+         doc_id % 4 + 10 AS nf
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(50 AS INT) AS id3v2_bytes,
+       CAST(br AS INT) AS bitrate_kbps,
+       CAST(sr AS INT) AS sample_rate,
+       CAST(nf AS INT) AS n_frames,
+       CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+       CAST(1 AS INT) AS is_valid
+FROM m
+"""
+
+
 def q_multimodal_ico_decode(spark, sf_dir):
     """REAL favicon (.ico) decode — a crawl's most common image blob:
     directory walk over two entries per icon, one headerless 32-bit
@@ -2839,6 +2876,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docx_text": q_extract_docx_text,
         "multimodal_ico_decode": q_multimodal_ico_decode,
         "multimodal_mp4_meta": q_multimodal_mp4_meta,
+        "multimodal_mp3_meta": q_multimodal_mp3_meta,
         "multimodal_decode_fake": q_multimodal_decode_fake,
         # relational coverage
         "pricing_summary": q_pricing_summary,
@@ -2904,6 +2942,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   extract_docx_text           — WordprocessingML extraction
 #   multimodal_ico_decode       — favicon directory: DIB + embedded PNG
 #   multimodal_mp4_meta         — ISO-BMFF box-walk metadata probe
+#   multimodal_mp3_meta         — ID3 skip + frame-walk duration probe
 _DRIVER_ORDER = [
     # never driver-checked in rounds 1-3 (verdict ask #2) — first
     "docs_rollup",
@@ -3041,6 +3080,7 @@ def all_oracles() -> dict[str, str]:
         "extract_docx_text": _ORACLE_DOCX_TEXT,
         "multimodal_ico_decode": _ORACLE_ICO_DECODE,
         "multimodal_mp4_meta": _ORACLE_MP4_META,
+        "multimodal_mp3_meta": _ORACLE_MP3_META,
         "multimodal_decode_fake": _ORACLE_MM_DECODE,
         "pricing_summary": _ORACLE_PRICING,
         "top_customers": _ORACLE_TOP_CUSTOMERS,

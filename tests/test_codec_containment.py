@@ -19,6 +19,7 @@ from pdf_extraction_spark.operators.jpeg import (
     synth_jpeg_mixed_bytes,
     synth_jpeg_progressive_bytes,
 )
+from pdf_extraction_spark.operators.mp3 import probe_mp3, synth_mp3_bytes
 from pdf_extraction_spark.operators.mp4 import probe_mp4, synth_mp4_bytes
 from pdf_extraction_spark.operators.multimodal import (
     parse_gif,
@@ -42,6 +43,7 @@ CODECS = [
     ("tiff", synth_tiff_bytes, parse_tiff),
     ("ico", synth_ico_bytes, parse_ico),
     ("mp4", synth_mp4_bytes, probe_mp4),
+    ("mp3", synth_mp3_bytes, probe_mp3),
 ]
 
 

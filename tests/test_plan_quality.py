@@ -111,6 +111,7 @@ def test_codec_entries_are_single_pass_no_shuffle(spark):
         "extract_docx_text",
         "multimodal_ico_decode",
         "multimodal_mp4_meta",
+        "multimodal_mp3_meta",
     ):
         plan = _formatted_plan(qs[name](spark, "/root/testdata/sf0.001"))
         assert "MapInPandas" in plan or "ArrowEvalPython" in plan, (name, plan)
