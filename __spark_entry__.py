@@ -2096,6 +2096,32 @@ FROM documents
 """
 
 
+def q_extract_epub_text(spark, sf_dir):
+    """Text extraction from real .epub packages — the packaged-book
+    container whose content is resolved INDIRECTLY: container.xml names
+    the OPF, whose manifest maps ids to hrefs (relative to the OPF's
+    directory) and whose spine orders the chapters; a non-spine
+    stylesheet item must be ignored.  Two chapters per document, the
+    same XML-1.0 projection as the docx entry, so the oracle states the
+    identical analytic sanitize-identity — any container, OPF, href
+    resolution, spine-order, or XHTML-walk defect breaks it."""
+    from pdf_extraction_spark.operators.epub_text import extract_epub_roundtrip
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_epub_roundtrip(d, "doc_id", "text")
+
+
+_ORACLE_EPUB_TEXT = r"""
+SELECT doc_id,
+       CAST(2 AS INT) AS n_chapters,
+       CAST(length(coalesce(text, '')) // 2 AS INT) AS chap1_chars,
+       CAST(length(coalesce(text, '')) AS INT) AS n_chars,
+       regexp_replace(regexp_replace(coalesce(text, ''), '\r', '?', 'g'),
+                      '[\x00-\x08\x0B\x0C\x0E-\x1F\x{FFFE}\x{FFFF}]', '?', 'g') AS extracted_text
+FROM documents
+"""
+
+
 def q_multimodal_tiff_decode(spark, sf_dir):
     """REAL TIFF 6.0 decode — the classic scanned-document container:
     IFD walk in BOTH byte orders (II for even ids, MM for odd), inline
@@ -2874,6 +2900,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_encrypted": q_extract_pdf_encrypted,
         "multimodal_tiff_decode": q_multimodal_tiff_decode,
         "extract_docx_text": q_extract_docx_text,
+        "extract_epub_text": q_extract_epub_text,
         "multimodal_ico_decode": q_multimodal_ico_decode,
         "multimodal_mp4_meta": q_multimodal_mp4_meta,
         "multimodal_mp3_meta": q_multimodal_mp3_meta,
@@ -2940,6 +2967,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #                                 oracle as extract_pdf_text
 #   multimodal_tiff_decode      — TIFF IFD walk, PackBits + TIFF-LZW
 #   extract_docx_text           — WordprocessingML extraction
+#   extract_epub_text           — container/OPF/spine EPUB extraction
 #   multimodal_ico_decode       — favicon directory: DIB + embedded PNG
 #   multimodal_mp4_meta         — ISO-BMFF box-walk metadata probe
 #   multimodal_mp3_meta         — ID3 skip + frame-walk duration probe
@@ -3078,6 +3106,7 @@ def all_oracles() -> dict[str, str]:
         "extract_pdf_encrypted": _ORACLE_PDF_TEXT,
         "multimodal_tiff_decode": _ORACLE_TIFF_DECODE,
         "extract_docx_text": _ORACLE_DOCX_TEXT,
+        "extract_epub_text": _ORACLE_EPUB_TEXT,
         "multimodal_ico_decode": _ORACLE_ICO_DECODE,
         "multimodal_mp4_meta": _ORACLE_MP4_META,
         "multimodal_mp3_meta": _ORACLE_MP3_META,

@@ -4,8 +4,8 @@ column names, and order-insensitive values.
 
 Usage: python scripts/check_oracle.py [--all] [sf_dir] [query ...]
 
---all checks the FULL registry (all_queries/all_oracles, 72 entries)
-instead of the 50-entry driver-facing queries() surface — the 22 entries
+--all checks the FULL registry (all_queries/all_oracles, 73 entries)
+instead of the 50-entry driver-facing queries() surface — the 23 entries
 past the driver snapshot cap stay value-checked even though the driver
 never snapshots them.
 """

@@ -112,6 +112,7 @@ def test_codec_entries_are_single_pass_no_shuffle(spark):
         "multimodal_ico_decode",
         "multimodal_mp4_meta",
         "multimodal_mp3_meta",
+        "extract_epub_text",
     ):
         plan = _formatted_plan(qs[name](spark, "/root/testdata/sf0.001"))
         assert "MapInPandas" in plan or "ArrowEvalPython" in plan, (name, plan)
