@@ -2945,40 +2945,72 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   multimodal_byte_features— byte histogram/entropy; weakest multimodal
 #                             twin, superseded by the real decoders
 #
-# Added AFTER the round-4 driver snapshot (so deliberately NOT in
-# _DRIVER_ORDER yet — promote in the first commit of round 5):
-#   multimodal_jpeg_decode      — real baseline-JFIF codec; value-checked
-#                                 by scripts/check_oracle.py --all + pytest
-#   multimodal_jpeg_progressive — SOF2 multi-scan decode, same analytic
-#                                 oracle (identical coefficients)
-#   multimodal_jpeg_meta        — header-only dims/frame-type/orientation
-#                                 probe over mixed SOF0/SOF2 blobs
-#   ocr_raster_roundtrip        — text -> PDF -> parse -> raster -> JPEG
-#                                 -> decode -> template OCR; the
-#                                 reference's scanned-PDF dataflow over
-#                                 the constrained synthetic subset
-#   multimodal_png_interlaced   — Adam7 decode, same analytic oracle as
-#                                 the sequential PNG entry
-#   multimodal_gif_animated     — multi-frame GIF decode (GCE delays,
-#                                 compositing, NETSCAPE ext), analytic
-#                                 whole-animation oracle
-#   extract_pdf_encrypted       — RC4 standard-security-handler PDFs
-#                                 (R2+R3, empty pw), same identity
-#                                 oracle as extract_pdf_text
-#   multimodal_tiff_decode      — TIFF IFD walk, PackBits + TIFF-LZW
-#   extract_docx_text           — WordprocessingML extraction
-#   extract_epub_text           — container/OPF/spine EPUB extraction
-#   multimodal_ico_decode       — favicon directory: DIB + embedded PNG
-#   multimodal_mp4_meta         — ISO-BMFF box-walk metadata probe
-#   multimodal_mp3_meta         — ID3 skip + frame-walk duration probe
+# Retired in round 5 to make room for the 13 round-4 newcomers promoted
+# below (round-4 verdict ask #1).  Every retiree has 3-4 green driver
+# rounds (CORRECTNESS_r01-r04) plus dedicated pytest coverage, and its
+# semantics stay driver-covered by a named surviving entry:
+#   llm_enrich_stub         — llm_enrich_error exercises the same F17
+#                             contract PLUS the error branch (verdict's
+#                             own first retirement candidate)
+#   multimodal_frame_sample — frame sampling subsumed by the real animated
+#                             GIF decoder (multimodal_gif_animated walks
+#                             and composites every frame)
+#   token_stats_by_source   — tokenization driver-covered by
+#                             token_stats_bpe; per-source aggregation by
+#                             quality_filter/docs_rollup
+#   extract_page_concat     — F4 also proven inside extraction_pipeline
+#                             (verdict-suggested)
+#   sessionize_events       — 4x green; session windows also exercised by
+#                             the streaming pytest suite + events_hourly
+#   multimodal_metadata     — superseded by the real metadata probes now
+#                             in the driver set (multimodal_jpeg_meta,
+#                             multimodal_mp4_meta, multimodal_mp3_meta)
+#   multimodal_bmp_decode   — codec-family dataflow driver-covered by the
+#   multimodal_wav_decode     png/gif/jpeg/tiff/ico entries; both 3x green
+#                             and guarded by the containment fuzz suite
+#   extract_errors          — F18 containment driver-covered by
+#                             extraction_skewed + tests/test_codec_containment.py
+#   text_stats              — its stats are recomputed inside quality_filter
+#                             (same rationale as the text_quality retirement)
+#   similarity_topk         — brute-force baseline; the scale paths
+#                             (similarity_lsh_bucketed, similarity_ivf_topk)
+#                             stay; brute==exact equality pinned in pytest
+#   source_skew_profile     — skew handling driver-covered by
+#                             extraction_skewed (salted repartition)
+#   events_json_props       — events family keeps asof/interval/hourly
+#                             driver rows; JSON path extraction pinned in
+#                             pytest
+#
+# Round-4 newcomers promoted in round 5's FIRST commit (verdict ask #1).
+# One stays all_queries()-only as a documented twin:
+#   multimodal_jpeg_progressive — SOF2 multi-scan decode shares the exact
+#                                 analytic oracle (identical coefficients)
+#                                 with multimodal_jpeg_decode, and is a
+#                                 deliberate slow path; pixel-exact
+#                                 progressive==baseline equality is pinned
+#                                 in tests/test_jpeg.py
 _DRIVER_ORDER = [
-    # never driver-checked in rounds 1-3 (verdict ask #2) — first
+    # round-4 newcomers with no driver row yet (round-4 verdict ask #1) —
+    # FIRST, so they get rows even if a future cap shrinks
+    "multimodal_jpeg_decode",
+    "multimodal_jpeg_meta",
+    "extract_pdf_encrypted",
+    "multimodal_tiff_decode",
+    "extract_docx_text",
+    "extract_epub_text",
+    "ocr_raster_roundtrip",
+    "multimodal_png_interlaced",
+    "multimodal_gif_decode",
+    "multimodal_gif_animated",
+    "multimodal_ico_decode",
+    "multimodal_mp4_meta",
+    "multimodal_mp3_meta",
+    # one prior driver row only (round 4)
     "docs_rollup",
     "length_quantiles",
-    # new in round 4 — near the front so they get rows on first appearance
     "extract_pdf_text",
     "multimodal_png_decode",
-    # displaced past the 50-entry cap in round 3
+    # displaced past the 50-entry cap in round 3, regained rows in round 4
     "events_asof_join",
     "events_interval_join",
     "events_hourly",
@@ -2987,23 +3019,18 @@ _DRIVER_ORDER = [
     # extraction operators (SURVEY §2)
     "extract_kv_kernel",
     "extract_kv_wide",
-    "extract_page_concat",
     "extract_prompt_truncate",
     "extract_html_main",
-    "llm_enrich_stub",
     "filter_nonempty_by_lang",
     "extraction_pipeline",
     "extract_ocr_fields",
-    "extract_errors",
     "extraction_skewed",
     "llm_enrich_error",
     "csv_export_bytes",
     # text analysis
-    "text_stats",
     "quality_filter",
     "lang_id",
     "fingerprint_winnow",
-    "token_stats_by_source",
     "token_stats_bpe",
     # dedup
     "dedup_exact",
@@ -3015,23 +3042,14 @@ _DRIVER_ORDER = [
     "dedup_embedding_cosine",
     # training-data curation extras
     "pii_scrub",
-    "source_skew_profile",
     "sample_stratified",
     "token_budget_pack",
     "chunk_documents",
-    # similarity search
-    "similarity_topk",
+    # similarity search (scale paths; brute baseline retired, see above)
     "similarity_lsh_bucketed",
     "similarity_ivf_topk",
-    # multimodal
-    "multimodal_metadata",
-    "multimodal_frame_sample",
-    "multimodal_bmp_decode",
-    "multimodal_wav_decode",
     # relational coverage
     "pricing_summary",
-    "sessionize_events",
-    "events_json_props",
 ]
 
 assert len(_DRIVER_ORDER) <= 50, "driver snapshot cap is 50 entries"
