@@ -133,6 +133,7 @@ def minhash_lsh_candidates(
     num_perms: int = 16,
     bands: int = 4,
     max_bucket: int | None = 256,
+    stats: dict | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs: (id_a, id_b), id_a < id_b.
 
@@ -140,6 +141,13 @@ def minhash_lsh_candidates(
     degenerate band bucket of k docs emits k^2/2 pairs, so an uncapped
     call can quadratically amplify one hot bucket into the whole query's
     runtime — the cap bounds worst-case work per bucket by construction.
+
+    Capped recall is observable, not silent (round-5 ADVICE): pass a
+    ``stats`` dict and the call records ``stats['dropped_buckets']`` and
+    ``stats['dropped_pairs_upper_bound']`` (sum of k*(k-1)/2 over dropped
+    buckets) for the hot buckets the cap removed.  The probe is a
+    separate aggregate-only job over the same single-shuffle bucket plan,
+    run eagerly at call time — opt-in, so the default path stays lazy.
 
     shingle -> minhash -> band -> bucket -> in-bucket pair expansion.
     At scale: signatures and band keys are per-row JVM expressions (no
@@ -151,12 +159,17 @@ def minhash_lsh_candidates(
     pairs that collide in several bands (second, pair-sized shuffle).
     """
     return _lsh_candidates_from_hashes(
-        _hashed_grams(df, id_col, text_col, n), num_perms, bands, max_bucket
+        _hashed_grams(df, id_col, text_col, n), num_perms, bands, max_bucket,
+        stats=stats,
     )
 
 
 def _lsh_candidates_from_hashes(
-    hashed: DataFrame, num_perms: int, bands: int, max_bucket: int | None = None
+    hashed: DataFrame,
+    num_perms: int,
+    bands: int,
+    max_bucket: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     rows_per_band = num_perms // bands
     sig = hashed.select(
@@ -173,7 +186,22 @@ def _lsh_candidates_from_hashes(
         .filter(F.size("ids") >= 2)
     )
     if max_bucket is not None:
+        if stats is not None:
+            k = F.size("ids").cast("long")
+            row = (
+                buckets.filter(F.size("ids") > max_bucket)
+                .agg(
+                    F.count("*").alias("b"),
+                    F.coalesce(F.sum(k * (k - 1) / 2), F.lit(0.0)).alias("p"),
+                )
+                .collect()[0]
+            )
+            stats["dropped_buckets"] = int(row["b"])
+            stats["dropped_pairs_upper_bound"] = int(row["p"])
         buckets = buckets.filter(F.size("ids") <= max_bucket)
+    elif stats is not None:
+        stats["dropped_buckets"] = 0
+        stats["dropped_pairs_upper_bound"] = 0
     # expand each bucket's sorted ids to (id_a < id_b) pairs JVM-side; the
     # single-branch plan computes signatures exactly once (the former
     # self-join evaluated them per side or needed a persist+leak)
@@ -205,12 +233,14 @@ def minhash_lsh_dedup_pairs(
     num_threshold: int = 1,
     den_threshold: int = 2,
     max_bucket: int | None = 256,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified by exact Jaccard.
 
     ``max_bucket`` defaults to 256 (``None`` disables): without the cap a
     single degenerate band bucket pays a quadratic pair expansion AND a
-    quadratic exact-Jaccard verify — see minhash_lsh_candidates.
+    quadratic exact-Jaccard verify — see minhash_lsh_candidates, including
+    the opt-in ``stats`` dropped-bucket observability contract.
 
     SCAN-ONCE shape: the hashed gram set rides along into the band-bucket
     aggregate (collect_list of (id, hs) structs) and the exact-Jaccard
@@ -245,7 +275,22 @@ def minhash_lsh_dedup_pairs(
         .filter(F.size("docs") >= 2)
     )
     if max_bucket is not None:
+        if stats is not None:
+            k = F.size("docs").cast("long")
+            row = (
+                buckets.filter(F.size("docs") > max_bucket)
+                .agg(
+                    F.count("*").alias("b"),
+                    F.coalesce(F.sum(k * (k - 1) / 2), F.lit(0.0)).alias("p"),
+                )
+                .collect()[0]
+            )
+            stats["dropped_buckets"] = int(row["b"])
+            stats["dropped_pairs_upper_bound"] = int(row["p"])
         buckets = buckets.filter(F.size("docs") <= max_bucket)
+    elif stats is not None:
+        stats["dropped_buckets"] = 0
+        stats["dropped_pairs_upper_bound"] = 0
     docs = F.col("docs")
     # hash sets are distinct, so |A∪B| = |A| + |B| - |A∩B| — one array pass
     pairs = F.flatten(

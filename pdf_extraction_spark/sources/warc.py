@@ -404,7 +404,11 @@ def _iter_warc_gz_records_range(f, start: int, end: int, read_chunk: int = 1 << 
                 continue
             p = window.find(_GZ_MAGIC, search)
             if p < 0:
-                search = len(window)
+                # resume where a magic could still straddle the window edge
+                # (mirrors the uncompressed path): search = len(window) would
+                # land at offset len(_GZ_MAGIC)-1 after compaction, skipping
+                # a candidate whose first 1-2 bytes sit in the kept tail
+                search = max(0, len(window) - (len(_GZ_MAGIC) - 1))
                 continue
             if scan_base + p >= end:
                 return  # next member belongs to the following split

@@ -84,6 +84,45 @@ def test_minhash_candidates_respect_cap(spark):
     assert uncapped.count() == 20 * 19 // 2
 
 
+def test_minhash_cap_drop_is_observable(spark):
+    """Round-5 ADVICE: capped recall must be observable — the opt-in stats
+    hook reports how many hot buckets the cap dropped and an upper bound
+    on the candidate pairs lost with them."""
+    from pdf_extraction_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_dedup_pairs,
+    )
+
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    stats: dict = {}
+    minhash_lsh_candidates(
+        same, "doc_id", "text", n=3, num_perms=16, bands=8, max_bucket=10,
+        stats=stats,
+    ).count()
+    # all 8 bands collapse to one 20-doc bucket each -> 8 dropped buckets,
+    # each bounding 20*19/2 = 190 potential pairs
+    assert stats == {
+        "dropped_buckets": 8,
+        "dropped_pairs_upper_bound": 8 * 190,
+    }
+    stats2: dict = {}
+    minhash_lsh_dedup_pairs(
+        same, "doc_id", "text", n=3, num_perms=16, bands=8, max_bucket=10,
+        stats=stats2,
+    ).count()
+    assert stats2 == stats
+    # uncapped: nothing dropped, and the hook says so explicitly
+    stats3: dict = {}
+    minhash_lsh_candidates(
+        same, "doc_id", "text", n=3, num_perms=16, bands=8, max_bucket=None,
+        stats=stats3,
+    ).count()
+    assert stats3 == {"dropped_buckets": 0, "dropped_pairs_upper_bound": 0}
+
+
 def test_ngram_jaccard_matches_bruteforce(spark):
     from pdf_extraction_spark.operators.dedup import ngram_jaccard_pairs
 

@@ -453,6 +453,71 @@ def test_warc_gz_range_iterator_boundary_sweep():
         assert sorted(got) == sorted(whole), split_bytes
 
 
+def test_warc_gz_alignment_magic_straddles_read_chunk_boundary():
+    """Regression (round-5 ADVICE): a gzip magic whose first 1-2 bytes sit
+    at the very end of an alignment-scan read window must still be found.
+
+    The old no-match branch set search = len(window); after the window was
+    compacted to a len(_GZ_MAGIC)-1 tail the adjusted search resumed at
+    offset 2, so a member starting at split_start + read_chunk - 1 or - 2
+    was skipped and the aligner locked onto a LATER member, silently
+    dropping every record of the missed member(s) from that split."""
+    import datetime as dt
+    import io
+    import os
+    import tempfile
+
+    from pdf_extraction_spark.sources.warc import (
+        _GZ_MAGIC,
+        _iter_warc_gz_records_range,
+        write_pages_warc,
+    )
+
+    rows = [
+        (
+            f"http://gzb.example/{i}",
+            dt.datetime(2026, 5, 1, 0, 0, i % 60),
+            (f"<p>boundary rec {i} " + "z" * (7 * i % 97) + "</p>").encode(),
+        )
+        for i in range(6)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "straddle.warc.gz")
+        write_pages_warc(rows, path, compress=True)  # one member per record
+        raw = open(path, "rb").read()
+    size = len(raw)
+
+    # member offsets: every gzip magic in a member-per-record archive
+    offsets = []
+    p = raw.find(_GZ_MAGIC)
+    while p >= 0:
+        offsets.append(p)
+        p = raw.find(_GZ_MAGIC, p + 1)
+    m1 = offsets[1]  # first member a start>0 split must align to
+    assert m1 > 4
+
+    def urls_in_range(start, end, read_chunk):
+        return [
+            h["warc-target-uri"]
+            for h, _ in _iter_warc_gz_records_range(
+                io.BytesIO(raw), start, end, read_chunk=read_chunk
+            )
+        ]
+
+    expect_tail = [f"http://gzb.example/{i}" for i in range(1, 6)]
+    # place the window edge so the magic at m1 straddles it: the first
+    # window is [start, start + read_chunk), and the magic's first 1 or 2
+    # bytes are the window's last bytes
+    for short_by in (1, 2):
+        start = 1
+        read_chunk = m1 - start + short_by  # magic begins short_by before edge
+        assert start + read_chunk - short_by == m1
+        assert urls_in_range(start, size, read_chunk) == expect_tail, short_by
+    # control: edge exactly on / past the magic still works
+    for read_chunk in (m1 - 1 + 3, m1 + 40):
+        assert urls_in_range(1, size, read_chunk) == expect_tail
+
+
 def test_warc_gz_split_rejects_embedded_decoy_member(spark, tmp_path):
     """A VERBATIM gzip member of a valid WARC record embedded inside
     another record's payload (outer member stored with compresslevel=0,

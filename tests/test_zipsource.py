@@ -44,11 +44,14 @@ def test_listing_and_member_reads_match_zipfile(tmp_path):
     ln = _make_zip(p, _MEMBERS, comment=b"x" * 1000)
     entries = list_zip_entries(p, ln)
     assert [e[0] for e in entries] == [m[0] for m in _MEMBERS]
+    import zlib
+
     with zipfile.ZipFile(p) as z:
-        for name, off, csize, usize, method in entries:
+        for name, off, csize, usize, method, crc in entries:
             got = read_zip_member(p, off, csize, method)
             assert got == z.read(name)
             assert len(got) == usize
+            assert zlib.crc32(got) == crc
 
 
 def test_directory_entries_skipped(tmp_path):
@@ -85,7 +88,7 @@ def test_encrypted_and_corrupt_rejected(tmp_path):
         list_zip_entries(p3b, 49)
     # a local header that disagrees with the central directory
     entries = list_zip_entries(p, ln)
-    name, off, csize, usize, method = entries[0]
+    name, off, csize, usize, method, _crc = entries[0]
     blob = bytearray(open(p, "rb").read())
     blob[off] ^= 0xFF
     p4 = str(tmp_path / "baddecoy.zip")
@@ -161,3 +164,126 @@ def test_spark_pages_contract(spark, tmp_path):
     assert row["url"].startswith("zip://") and row["url"].endswith("!doc1.txt")
     assert bytes(row["html"]) == b"hello zip world"
     assert row["text"] == "hello zip world"
+
+
+def _build_zip64(path, payloads):
+    """Hand-synthesize a spec-correct Zip64 archive: every size/offset in
+    the central directory is a 0xFFFFFFFF sentinel resolved via a 0x0001
+    extra field, and the EOCD carries sentinels resolved via the EOCD64
+    record + locator.  zipfile only emits EOCD64 when a real >4 GiB /
+    >65535-member threshold is crossed, which a unit test cannot afford —
+    so the fixture is built by hand and CROSS-VALIDATED with zipfile
+    (which reads Zip64) before our parser touches it."""
+    import struct
+    import zlib
+
+    blob = bytearray()
+    cd = bytearray()
+    n = 0
+    for i, (name, data) in enumerate(payloads.items()):
+        nameb = name.encode()
+        if i % 2:
+            c = zlib.compressobj(wbits=-15)
+            comp = c.compress(data) + c.flush()
+            method = 8
+        else:
+            comp, method = data, 0
+        crc = zlib.crc32(data)
+        local_off = len(blob)
+        extra_local = struct.pack("<HHQQ", 1, 16, len(data), len(comp))
+        blob += struct.pack(
+            "<4sHHHHHIIIHH", b"PK\x03\x04", 45, 0, method, 0, 0,
+            crc, 0xFFFFFFFF, 0xFFFFFFFF, len(nameb), len(extra_local),
+        )
+        blob += nameb + extra_local + comp
+        extra_cd = struct.pack("<HHQQQ", 1, 24, len(data), len(comp), local_off)
+        cd += struct.pack(
+            "<4sHHHHHHIIIHHHHHII", b"PK\x01\x02", 45, 45, 0, method, 0, 0,
+            crc, 0xFFFFFFFF, 0xFFFFFFFF, len(nameb), len(extra_cd),
+            0, 0, 0, 0, 0xFFFFFFFF,
+        )
+        cd += nameb + extra_cd
+        n += 1
+    cd_off = len(blob)
+    blob += cd
+    eocd64_off = len(blob)
+    blob += struct.pack(
+        "<4sQHHIIQQQQ", b"PK\x06\x06", 44, 45, 45, 0, 0, n, n, len(cd), cd_off
+    )
+    blob += struct.pack("<4sIQI", b"PK\x06\x07", 0, eocd64_off, 1)
+    blob += struct.pack(
+        "<4sHHHHIIH", b"PK\x05\x06", 0, 0, 0xFFFF, 0xFFFF,
+        0xFFFFFFFF, 0xFFFFFFFF, 0,
+    )
+    open(path, "wb").write(bytes(blob))
+    return len(blob)
+
+
+def test_zip64_archive_listing_and_reads(tmp_path):
+    """Zip64 (round-5 verdict ask #4): listing must resolve the 64-bit
+    central-directory offset/count via EOCD64 locator + record and the
+    per-member 0x0001 sentinels, and the splittable read path must return
+    the exact member bytes."""
+    import zlib
+
+    p = str(tmp_path / "big64.zip")
+    payloads = {
+        f"m{i}.bin": (f"zip64 member {i} ".encode() * (11 * i + 3))
+        for i in range(5)
+    }
+    ln = _build_zip64(p, payloads)
+    # fixture sanity: stdlib zipfile (an independent Zip64 reader) agrees
+    with zipfile.ZipFile(p) as z:
+        assert {nm: z.read(nm) for nm in z.namelist()} == payloads
+    entries = list_zip_entries(p, ln)
+    assert [e[0] for e in entries] == list(payloads)
+    for name, off, csize, usize, method, crc in entries:
+        got = read_zip_member(p, off, csize, method)
+        assert got == payloads[name]
+        assert len(got) == usize and zlib.crc32(got) == crc
+
+
+def test_zip64_spark_read_matches_zipfile(spark, tmp_path):
+    d = tmp_path / "corpus64"
+    d.mkdir()
+    p = str(d / "a64.zip")
+    payloads = {f"doc{i}.html": f"<p>zip64 doc {i}</p>".encode() for i in range(4)}
+    _build_zip64(p, payloads)
+    df = read_docs_zip(spark, str(d))
+    rows = {r["name"]: bytes(r["content"]) for r in df.collect()}
+    assert rows == payloads
+
+
+def test_crc_mismatch_raises(tmp_path):
+    """Round-5 ADVICE: a corrupted STORED member passes the length
+    cross-check; the CRC32 check against the central directory must
+    catch it (pure-Python drive of the executor batch reader)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from pdf_extraction_spark.sources.zipsource import _read_batches
+
+    p = str(tmp_path / "c.zip")
+    ln = _make_zip(p, [("s.txt", b"stored member payload", zipfile.ZIP_STORED)])
+    (name, off, csize, usize, method, crc), = list_zip_entries(p, ln)
+    # flip one byte INSIDE the stored payload (length unchanged)
+    blob = bytearray(open(p, "rb").read())
+    hdr_name_len, hdr_extra_len = (
+        int.from_bytes(blob[off + 26 : off + 28], "little"),
+        int.from_bytes(blob[off + 28 : off + 30], "little"),
+    )
+    data_at = off + 30 + hdr_name_len + hdr_extra_len
+    blob[data_at + 3] ^= 0xFF
+    open(p, "wb").write(bytes(blob))
+
+    entry = pd.DataFrame(
+        {"archive": [p], "name": [name], "local_off": [off], "comp_size": [csize],
+         "uncomp_size": [usize], "method": [method], "crc": [crc]}
+    )
+    with _pytest.raises(ValueError, match="crc mismatch"):
+        list(_read_batches(iter([entry])))
+    # same drive with intact bytes succeeds (control)
+    blob[data_at + 3] ^= 0xFF
+    open(p, "wb").write(bytes(blob))
+    (df,) = list(_read_batches(iter([entry])))
+    assert bytes(df["content"][0]) == b"stored member payload"
