@@ -1924,10 +1924,13 @@ def q_extract_pdf_text(spark, sf_dir):
     text becomes a 2-page PDF via the from-scratch builder (xref table,
     FlateDecode via stdlib zlib, Tj/TJ/'/hex show ops; variants: raw
     streams, indirect /Length, vandalized startxref forcing scan
-    recovery), and the from-scratch parser must recover the pages from
-    the bytes alone.  The oracle never parses PDF — it asserts the
-    analytic identity extracted_text == text, so ANY builder or parser
-    defect breaks the value hash."""
+    recovery; font encodings cycled per doc_id%5 — legacy UTF-8
+    fallback, WinAnsi+/Differences, MacRoman+/Differences, /ToUnicode
+    CMap, Type0/Identity-H CID), and the from-scratch parser must
+    recover the pages from the bytes alone.  The oracle never parses
+    PDF — it asserts the analytic identity extracted_text == text, so
+    ANY builder, encoder-table, CMap, or parser defect breaks the
+    value hash."""
     from pdf_extraction_spark.operators.pdf_text import extract_pdf_roundtrip
 
     d = _load(spark, sf_dir, "documents").select("doc_id", "text")

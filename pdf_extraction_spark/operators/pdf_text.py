@@ -57,6 +57,12 @@ _STARTXREF_RE = re.compile(rb"startxref\s+\d+")
 # every non-image PDF filter decoder in the per-round driver run
 _FILTER_BY_MOD = {0: False, 3: "lzw", 6: "a85", 2: "rl", 5: "ahx"}
 
+# font-encoding mode per doc_id % 5 (round-5 verdict ask #2): legacy
+# UTF-8-fallback font, WinAnsi + /Differences, MacRoman + /Differences,
+# /ToUnicode CMap, and Type0/Identity-H CID — every declared-encoding
+# decoder the parser owns runs under the driver's identity oracle
+_FONT_BY_MOD = {0: None, 1: "winansi", 2: "macroman", 3: "tounicode", 4: "cid"}
+
 
 def _vandalize_startxref(pdf: bytes) -> bytes:
     """Point startxref at byte 0 (the %PDF header), so the xref load
@@ -80,6 +86,7 @@ def _roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             blob = build_pdf(
                 [t[:half], t[half:]],
                 compress=_FILTER_BY_MOD.get(doc_id % 9, True),
+                font=_FONT_BY_MOD[doc_id % 5],
                 indirect_length=doc_id % 5 == 0,
                 # PDF-1.5 layouts (odd ids): cross-reference stream,
                 # with objects packed into an /ObjStm every 4th id and

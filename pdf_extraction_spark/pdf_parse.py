@@ -24,11 +24,23 @@ Subset contract (what :func:`extract_pdf_pages` supports, and what
   indirect ``/Length`` values;
 * content streams stored raw or ``/FlateDecode``-compressed (any other
   filter raises — contained per document by the kernel's F18 guard);
-* text extraction: glyph-run BYTES are accumulated per line and decoded
-  as UTF-8 once per line (the fixture font's declared encoding); line
-  breaks come from ``Td``/``TD`` with a vertical component, ``T*``,
-  ``'``/``\"``, and ``Tm``; pages are the in-order leaves of the ``/Kids``
-  tree; a page's text is its lines joined by ``\\n``.
+* FONT ENCODINGS (PDF 32000 §9.6.6, §9.10.3, Annex D — what real
+  writers emit and pdfplumber resolves): ``/ToUnicode`` CMaps
+  (bfchar + both bfrange forms, 1- and 2-byte codes), named
+  ``/WinAnsiEncoding`` / ``/MacRomanEncoding`` / ``/StandardEncoding``
+  base encodings, ``/Encoding`` dictionaries with ``/BaseEncoding`` +
+  ``/Differences`` (AGL names + uniXXXX/uXXXXXX), and Type0/Identity-H
+  composite fonts; the interpreter tracks ``Tf`` and decodes each glyph
+  run with ITS font.  A font with no encoding information at all keeps
+  the engine's documented UTF-8 fallback (the legacy fixture contract —
+  without the font program a built-in encoding is unknowable);
+* text extraction: glyph-run BYTES are accumulated per line as
+  per-font runs and decoded once per line (same-font runs concatenate
+  first, so multi-byte codes split across show strings reassemble);
+  line breaks come from ``Td``/``TD`` with a vertical component,
+  ``T*``, ``'``/``\"``, and ``Tm``; pages are the in-order leaves of the
+  ``/Kids`` tree (``/Resources`` inherit down the tree); a page's text
+  is its lines joined by ``\\n``.
 
 Because the builder splits page text on ``\\n`` into shown lines and the
 parser re-joins recovered lines with ``\\n``, ``extract_pdf_pages(
@@ -162,6 +174,211 @@ def _esc_literal(b: bytes) -> bytes:
     return bytes(out)
 
 
+def _glyph_name(ch: str) -> str:
+    """Deterministic glyph name for a /Differences entry: a real AGL name
+    when one exists (exercises the parser's name table), else the
+    uniXXXX / uXXXXXX forms that cover all of Unicode."""
+    nm = _AGL_REV.get(ch)
+    if nm is not None:
+        return nm
+    cp = ord(ch)
+    return f"uni{cp:04X}" if cp <= 0xFFFF else f"u{cp:06X}"
+
+
+def _differences_array(pairs: list[tuple[int, str]]) -> bytes:
+    """/Differences syntax: a code number starts a run, following names
+    take consecutive codes (§9.6.6.1)."""
+    out: list[str] = []
+    prev = None
+    for code, name in sorted(pairs):
+        if prev is None or code != prev + 1:
+            out.append(str(code))
+        out.append("/" + name)
+        prev = code
+    return ("[ " + " ".join(out) + " ]").encode("ascii")
+
+
+def _tounicode_stream(code2char: dict[int, str], nbytes: int) -> bytes:
+    """Emit a spec-shaped /ToUnicode CMap (§9.10.3): codespacerange for
+    the code width, maximal consecutive runs as bfrange (incrementing
+    destination form), the rest as bfchar, both in the spec's 100-entry
+    section chunks.  Destinations are UTF-16BE, so astral-plane chars
+    ride as surrogate pairs in bfchar entries."""
+    items = sorted(code2char.items())
+
+    def _bmp(ch: str) -> bool:
+        return len(ch) == 1 and ord(ch) <= 0xFFFF and not (
+            0xD800 <= ord(ch) <= 0xDFFF
+        )
+
+    ranges: list[tuple[int, int, int]] = []
+    chars: list[tuple[int, str]] = []
+    i = 0
+    while i < len(items):
+        c0, ch0 = items[i]
+        j = i
+        if _bmp(ch0):
+            while j + 1 < len(items):
+                ck, chk = items[j + 1]
+                k = j + 1 - i
+                if not (
+                    ck == c0 + k
+                    and _bmp(chk)
+                    and ord(chk) == ord(ch0) + k
+                    and ord(ch0) + k <= 0xFFFF
+                    and (ck >> 8) == (c0 >> 8)  # one 256-block per range
+                ):
+                    break
+                j += 1
+        if j - i + 1 >= 3:
+            ranges.append((c0, items[j][0], ord(ch0)))
+            i = j + 1
+        else:
+            chars.append(items[i])
+            i += 1
+
+    w = nbytes * 2
+    lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS)"
+        b" /Supplement 0 >> def",
+        b"/CMapName /Engine-UCS def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        f"<{0:0{w}X}> <{(1 << (8 * nbytes)) - 1:0{w}X}>".encode("ascii"),
+        b"endcodespacerange",
+    ]
+    for at in range(0, len(chars), 100):
+        chunk = chars[at : at + 100]
+        lines.append(f"{len(chunk)} beginbfchar".encode("ascii"))
+        for code, ch in chunk:
+            dst = ch.encode("utf-16-be").hex().upper()
+            lines.append(f"<{code:0{w}X}> <{dst}>".encode("ascii"))
+        lines.append(b"endbfchar")
+    for at in range(0, len(ranges), 100):
+        chunk = ranges[at : at + 100]
+        lines.append(f"{len(chunk)} beginbfrange".encode("ascii"))
+        for lo, hi, start in chunk:
+            lines.append(
+                f"<{lo:0{w}X}> <{hi:0{w}X}> <{start:04X}>".encode("ascii")
+            )
+        lines.append(b"endbfrange")
+    lines += [
+        b"endcmap",
+        b"CMapName currentdict /CMap defineresource pop",
+        b"end",
+        b"end",
+    ]
+    return b"\n".join(lines) + b"\n"
+
+
+def _plan_encoded_fonts(
+    ordered_chars: list[str], mode: str
+) -> tuple[dict[str, tuple[int, bytes]], list[dict]]:
+    """Assign every distinct character a (font_index, code_bytes) slot.
+
+    * ``winansi`` / ``macroman``: base-encodable chars keep their base
+      code in font 0; the rest take /Differences overrides on codes the
+      text leaves unused (descending from 255), spilling into extra
+      Differences-only fonts when one byte space is not enough.
+    * ``tounicode``: codes 1..255 per font in first-seen order, each
+      font carrying a /ToUnicode CMap; extra fonts as needed.
+    * ``cid``: one Type0/Identity-H font, 2-byte codes, one CMap.
+    """
+    charmap: dict[str, tuple[int, bytes]] = {}
+    fonts: list[dict] = []
+    if mode in ("winansi", "macroman"):
+        table = _WINANSI if mode == "winansi" else _MACROMAN
+        base_name = (
+            "WinAnsiEncoding" if mode == "winansi" else "MacRomanEncoding"
+        )
+        rev = {
+            ch: c for c in range(32, 256) if (ch := table[c]) is not None
+        }
+        extras = [ch for ch in ordered_chars if ch not in rev]
+        used = {rev[ch] for ch in ordered_chars if ch in rev}
+        pool = [c for c in range(255, 31, -1) if c not in used]
+        fonts.append({"kind": mode, "base": base_name, "differences": []})
+        for ch in ordered_chars:
+            if ch in rev:
+                charmap[ch] = (0, bytes([rev[ch]]))
+        fidx = 0
+        for ch in extras:
+            if not pool:
+                fidx += 1
+                fonts.append(
+                    {"kind": mode, "base": base_name, "differences": []}
+                )
+                pool = list(range(255, 31, -1))
+            code = pool.pop(0)
+            fonts[fidx]["differences"].append((code, _glyph_name(ch)))
+            charmap[ch] = (fidx, bytes([code]))
+    elif mode == "tounicode":
+        for i, ch in enumerate(ordered_chars):
+            fidx, code = divmod(i, 255)
+            code += 1
+            if fidx == len(fonts):
+                fonts.append({"kind": mode, "cmap": {}, "nbytes": 1})
+            fonts[fidx]["cmap"][code] = ch
+            charmap[ch] = (fidx, bytes([code]))
+    elif mode == "cid":
+        fonts.append({"kind": mode, "cmap": {}, "nbytes": 2})
+        for i, ch in enumerate(ordered_chars):
+            code = i + 1
+            if code > 0xFFFF:
+                raise ValueError("build_pdf: cid mode: >65535 distinct chars")
+            fonts[0]["cmap"][code] = ch
+            charmap[ch] = (0, code.to_bytes(2, "big"))
+    else:
+        raise ValueError(f"build_pdf: unknown font mode {mode!r}")
+    return charmap, fonts
+
+
+def _page_content_encoded(
+    lines: list[str], charmap: dict[str, tuple[int, bytes]]
+) -> bytes:
+    """One page's content stream over encoded fonts: chars group into
+    same-font runs, ``Tf`` switches fonts mid-line, and the show shapes
+    cycle literal ``Tj`` / hex ``Tj`` / split ``TJ`` (the split may land
+    mid-code for 2-byte CIDs — intentional, the parser must reassemble
+    across show strings)."""
+    ops = [b"BT", b"/F1 12 Tf", b"14 TL", b"72 720 Td"]
+    cur = 0
+    for j, line in enumerate(lines):
+        if j > 0:
+            ops.append((b"T*", b"0 -14 Td", b"0 -14 TD")[j % 3])
+        runs: list[list] = []
+        for ch in line:
+            fidx, cb = charmap[ch]
+            if runs and runs[-1][0] == fidx:
+                runs[-1][1] += cb
+            else:
+                runs.append([fidx, bytearray(cb)])
+        if not runs:
+            ops.append(b"() Tj")
+            continue
+        for r, (fidx, cb) in enumerate(runs):
+            if fidx != cur:
+                ops.append(f"/F{fidx + 1} 12 Tf".encode("ascii"))
+                cur = fidx
+            cb = bytes(cb)
+            variant = (j + r) % 3
+            if variant == 1:
+                ops.append(b"<" + cb.hex().encode("ascii") + b"> Tj")
+            elif variant == 2 and len(cb) > 1:
+                h = len(cb) // 2
+                ops.append(
+                    b"[(" + _esc_literal(cb[:h]) + b") -120 ("
+                    + _esc_literal(cb[h:]) + b")] TJ"
+                )
+            else:
+                ops.append(b"(" + _esc_literal(cb) + b") Tj")
+    ops.append(b"ET")
+    return b"\n".join(ops) + b"\n"
+
+
 def _page_content(lines: list[str]) -> bytes:
     """One page's content stream: BT/ET block showing each line, cycling
     through the four text-showing shapes the parser must handle —
@@ -205,6 +422,7 @@ def build_pdf(
     use_objstm: bool = False,
     predictor: bool = False,
     encrypt: str | None = None,
+    font: str | None = None,
 ) -> bytes:
     """Emit a complete, spec-shaped PDF whose N pages show the given
     texts.  Each page text is split on ``\\n`` into shown lines (other
@@ -236,37 +454,138 @@ def build_pdf(
       carry: every stream is RC4'd with its per-object key, the trailer
       gains ``/Encrypt`` + ``/ID``, and the parser must verify ``/U``
       and decrypt to read anything.
+    * ``font``: ``None`` keeps the legacy fixture font (no /Encoding —
+      glyph bytes ARE UTF-8, the documented fallback contract).
+      ``"winansi"`` / ``"macroman"`` emit honestly-encoded simple fonts:
+      base-encodable chars use their base codes, everything else rides
+      /Differences overrides (real AGL names where they exist, else
+      uniXXXX/uXXXXXX), spilling into extra fonts with mid-line ``Tf``
+      switches when one byte space is not enough.  ``"tounicode"``
+      assigns arbitrary 1-byte codes resolved ONLY by a /ToUnicode
+      CMap; ``"cid"`` emits a Type0/Identity-H composite font with
+      2-byte codes and a CMap.  In every mode
+      ``extract_pdf_pages(build_pdf(pages, font=m))`` is the identity.
     """
     if (use_objstm or predictor) and not xref_stream:
         raise ValueError("use_objstm/predictor require xref_stream")
     if not pages:
         pages = [""]
     n = len(pages)
-    # object numbering: 1 catalog, 2 pages root, 3 font,
-    # 4..3+n page objects, 4+n..3+2n content streams,
-    # then one Length int object per stream when indirect_length
-    page_ids = [4 + i for i in range(n)]
-    content_ids = [4 + n + i for i in range(n)]
-    len_ids = [4 + 2 * n + i for i in range(n)] if indirect_length else []
+    page_lines = [p.split("\n") for p in pages]
 
     objects: dict[int, bytes] = {}
-    kids = " ".join(f"{p} 0 R" for p in page_ids)
+    streams: dict[int, bytes] = {}
     objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+
+    def _enc_stream(payload: bytes) -> tuple[bytes, bytes]:
+        if compress:
+            return zlib.compress(payload, 9), b" /Filter /FlateDecode"
+        return payload, b""
+
+    # ---- font objects (ids from 3 up; count depends on the mode) ----
+    font_ids: list[int] = []
+    charmap: dict[str, tuple[int, bytes]] | None = None
+    next_id = 3
+    if font is None:
+        objects[3] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        )
+        font_ids = [3]
+        next_id = 4
+    else:
+        ordered: list[str] = []
+        seen: set[str] = set()
+        for lines in page_lines:
+            for line in lines:
+                for ch in line:
+                    if ch not in seen:
+                        seen.add(ch)
+                        ordered.append(ch)
+        charmap, fonts_spec = _plan_encoded_fonts(ordered, font)
+        for spec in fonts_spec:
+            fid = next_id
+            next_id += 1
+            font_ids.append(fid)
+            kind = spec["kind"]
+            if kind in ("winansi", "macroman"):
+                base = spec["base"].encode("ascii")
+                if spec["differences"]:
+                    enc = (
+                        b"<< /Type /Encoding /BaseEncoding /" + base
+                        + b" /Differences "
+                        + _differences_array(spec["differences"]) + b" >>"
+                    )
+                else:
+                    enc = b"/" + base  # name form — its own parser path
+                objects[fid] = (
+                    b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                    b" /Encoding " + enc + b" >>"
+                )
+            elif kind == "tounicode":
+                cmap_id = next_id
+                next_id += 1
+                data, filt = _enc_stream(
+                    _tounicode_stream(spec["cmap"], spec["nbytes"])
+                )
+                objects[cmap_id] = (
+                    b"<< /Length " + str(len(data)).encode("ascii")
+                    + filt + b" >>"
+                )
+                streams[cmap_id] = data
+                objects[fid] = (
+                    b"<< /Type /Font /Subtype /TrueType /BaseFont"
+                    b" /SynthUni /ToUnicode "
+                    + f"{cmap_id} 0 R".encode("ascii") + b" >>"
+                )
+            else:  # cid
+                desc_id = next_id
+                cmap_id = next_id + 1
+                next_id += 2
+                objects[desc_id] = (
+                    b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont"
+                    b" /SynthCID /CIDSystemInfo << /Registry (Adobe)"
+                    b" /Ordering (Identity) /Supplement 0 >>"
+                    b" /CIDToGIDMap /Identity >>"
+                )
+                data, filt = _enc_stream(
+                    _tounicode_stream(spec["cmap"], spec["nbytes"])
+                )
+                objects[cmap_id] = (
+                    b"<< /Length " + str(len(data)).encode("ascii")
+                    + filt + b" >>"
+                )
+                streams[cmap_id] = data
+                objects[fid] = (
+                    b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID"
+                    b" /Encoding /Identity-H /DescendantFonts [ "
+                    + f"{desc_id} 0 R".encode("ascii")
+                    + b" ] /ToUnicode "
+                    + f"{cmap_id} 0 R".encode("ascii") + b" >>"
+                )
+
+    # ---- page tree + content streams ----
+    page_ids = [next_id + i for i in range(n)]
+    content_ids = [next_id + n + i for i in range(n)]
+    len_ids = (
+        [next_id + 2 * n + i for i in range(n)] if indirect_length else []
+    )
+    kids = " ".join(f"{p} 0 R" for p in page_ids)
     objects[2] = (
         f"<< /Type /Pages /Kids [ {kids} ] /Count {n} >>".encode("ascii")
     )
-    objects[3] = (
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
-        b" /Encoding /WinAnsiEncoding >>"
+    res_font = " ".join(
+        f"/F{i + 1} {fid} 0 R" for i, fid in enumerate(font_ids)
     )
-    streams: dict[int, bytes] = {}
     for i, (pid, cid) in enumerate(zip(page_ids, content_ids)):
         objects[pid] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ]"
-            f" /Resources << /Font << /F1 3 0 R >> >>"
+            f" /Resources << /Font << {res_font} >> >>"
             f" /Contents {cid} 0 R >>"
         ).encode("ascii")
-        raw = _page_content(pages[i].split("\n"))
+        if charmap is None:
+            raw = _page_content(page_lines[i])
+        else:
+            raw = _page_content_encoded(page_lines[i], charmap)
         fname = "flate" if compress is True else compress
         if fname:
             pdf_name, encoder = _BUILD_FILTERS[fname]
@@ -1269,20 +1588,75 @@ class _Document:
             raise ValueError("pdf parse: no document catalog")
         out: list[dict] = []
 
-        def walk(node, depth=0):
+        def walk(node, depth=0, inherited_res=None):
             if depth > 64:
                 raise ValueError("pdf parse: page tree too deep")
             node = self.resolve(node)
             if not isinstance(node, dict):
                 return
+            # /Resources is inheritable down the page tree (§7.7.3.4)
+            res = node.get("Resources", inherited_res)
             if node.get("Type") == "Page":
+                if "Resources" not in node and res is not None:
+                    node = dict(node)
+                    node["Resources"] = res
                 out.append(node)
                 return
             for kid in self.resolve(node.get("Kids")) or []:
-                walk(kid, depth + 1)
+                walk(kid, depth + 1, res)
 
         walk(root.get("Pages"))
         return out
+
+    def _font_decoder(self, fref):
+        """Build this font's glyph-bytes -> text decoder (§9.6.6, §9.10):
+        /ToUnicode CMap wins; then Type0/Identity-H decodes as UTF-16BE
+        (Identity CID ordering, the only fallback available without the
+        font program); then named or dict /Encoding with /BaseEncoding +
+        /Differences; a font with none of these keeps the engine's
+        documented UTF-8 fallback (the legacy fixture contract — a real
+        built-in font encoding is unknowable without the font program)."""
+        fdict = self.resolve(fref)
+        if not isinstance(fdict, dict):
+            return _decode_utf8
+        tu = fdict.get("ToUnicode")
+        if isinstance(tu, _Ref):
+            lengths, mapping = _parse_tounicode(self.stream_bytes(tu.num))
+            if mapping:
+                return _cmap_decoder(lengths, mapping)
+        if fdict.get("Subtype") == "Type0":
+            return _decode_utf16be
+        enc = self.resolve(fdict.get("Encoding"))
+        if isinstance(enc, str):  # _Name subclasses str
+            table = _BASE_ENCODINGS.get(str(enc))
+            return _table_decoder(table) if table is not None else _decode_utf8
+        if isinstance(enc, dict):
+            base = _BASE_ENCODINGS.get(str(enc.get("BaseEncoding", "")))
+            table = list(base if base is not None else _STANDARD)
+            code = 0
+            for el in self.resolve(enc.get("Differences")) or []:
+                el = self.resolve(el)
+                if isinstance(el, bool):
+                    continue
+                if isinstance(el, (int, float)):
+                    code = int(el)
+                elif isinstance(el, str):
+                    if 0 <= code <= 255:
+                        table[code] = _glyph_to_char(str(el))
+                    code += 1
+            return _table_decoder(table)
+        return _decode_utf8
+
+    def page_fonts(self, page: dict) -> dict:
+        """Font-resource name (the Tf operand, e.g. 'F1') -> decoder."""
+        res = self.resolve(page.get("Resources"))
+        fonts: dict = {}
+        if isinstance(res, dict):
+            fmap = self.resolve(res.get("Font"))
+            if isinstance(fmap, dict):
+                for name, fref in fmap.items():
+                    fonts[str(name)] = self._font_decoder(fref)
+        return fonts
 
     def page_content(self, page: dict) -> bytes:
         contents = page.get("Contents")
@@ -1298,39 +1672,334 @@ class _Document:
 
 
 # ---------------------------------------------------------------------------
+# simple-font encodings + ToUnicode CMaps (PDF 32000-1:2008 §9.6.6, §9.10.3,
+# Annex D) — the layer that separates this parser from "decode as UTF-8".
+# Real writers (Word, LaTeX, print-to-PDF) emit /WinAnsiEncoding or
+# /MacRomanEncoding base encodings, /Differences override arrays, and
+# /ToUnicode CMaps; pdfplumber resolves all of these for the reference
+# (pdfextraction.py:33-35).  Decoding is per glyph run: the interpreter
+# tracks the Tf-selected font and hands each run's bytes to that font's
+# decoder.
+# ---------------------------------------------------------------------------
+
+
+def _codec_table(codec: str) -> list:
+    t = []
+    for b in range(256):
+        try:
+            t.append(bytes([b]).decode(codec))
+        except UnicodeDecodeError:
+            t.append(None)
+    return t
+
+
+# PDF WinAnsiEncoding == Windows-1252's defined codes (Annex D.2); the five
+# cp1252 holes (0x81 8D 8F 90 9D) stay undefined and decode to U+FFFD.
+_WINANSI = _codec_table("cp1252")
+# Adobe's MacRomanEncoding is pre-Mac-OS-8.5 Mac Roman: 0xDB is /currency
+# (U+00A4), not the euro Python's mac_roman codec has, and the 0xF0 Apple
+# logo (private use) is not in Adobe's table.
+_MACROMAN = _codec_table("mac_roman")
+_MACROMAN[0xDB] = "¤"
+_MACROMAN[0xF0] = None
+# StandardEncoding (Annex D.2): ASCII with the two typographic quotes
+# swapped in, plus the defined high-code punctuation/ligature set.
+_STANDARD: list = [None] * 256
+for _b in range(32, 127):
+    _STANDARD[_b] = chr(_b)
+_STANDARD[0x27] = "’"  # quoteright
+_STANDARD[0x60] = "‘"  # quoteleft
+for _code, _ch in {
+    0xA1: "¡", 0xA2: "¢", 0xA3: "£", 0xA4: "⁄",
+    0xA5: "¥", 0xA6: "ƒ", 0xA7: "§", 0xA8: "¤",
+    0xA9: "'", 0xAA: "“", 0xAB: "«", 0xAC: "‹",
+    0xAD: "›", 0xAE: "ﬁ", 0xAF: "ﬂ", 0xB1: "–",
+    0xB2: "†", 0xB3: "‡", 0xB4: "·", 0xB6: "¶",
+    0xB7: "•", 0xB8: "‚", 0xB9: "„", 0xBA: "”",
+    0xBB: "»", 0xBC: "…", 0xBD: "‰", 0xBF: "¿",
+    0xC1: "`", 0xC2: "´", 0xC3: "ˆ", 0xC4: "˜",
+    0xC5: "¯", 0xC6: "˘", 0xC7: "˙", 0xC8: "¨",
+    0xCA: "˚", 0xCB: "¸", 0xCD: "˝", 0xCE: "˛",
+    0xCF: "ˇ", 0xD0: "—", 0xE1: "Æ", 0xE3: "ª",
+    0xE8: "Ł", 0xE9: "Ø", 0xEA: "Œ", 0xEB: "º",
+    0xF1: "æ", 0xF5: "ı", 0xF8: "ł", 0xF9: "ø",
+    0xFA: "œ", 0xFB: "ß",
+}.items():
+    _STANDARD[_code] = _ch
+
+_BASE_ENCODINGS = {
+    "WinAnsiEncoding": _WINANSI,
+    "MacRomanEncoding": _MACROMAN,
+    "StandardEncoding": _STANDARD,
+}
+
+# Adobe Glyph List subset: the names real /Differences arrays use for
+# Latin text.  Anything else resolves through the uniXXXX / uXXXXXX
+# forms (AGL §3), which cover all of Unicode including astral planes.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+    "guillemotleft": "«", "guillemotright": "»",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "exclamdown": "¡", "questiondown": "¿",
+    "cent": "¢", "sterling": "£", "currency": "¤",
+    "yen": "¥", "florin": "ƒ", "section": "§",
+    "paragraph": "¶", "periodcentered": "·",
+    "perthousand": "‰", "degree": "°", "plusminus": "±",
+    "mu": "µ", "copyright": "©", "registered": "®",
+    "trademark": "™", "Euro": "€", "fi": "ﬁ",
+    "fl": "ﬂ", "germandbls": "ß", "ae": "æ",
+    "AE": "Æ", "oe": "œ", "OE": "Œ", "oslash": "ø",
+    "Oslash": "Ø", "aring": "å", "Aring": "Å",
+    "ccedilla": "ç", "Ccedilla": "Ç", "ntilde": "ñ",
+    "Ntilde": "Ñ", "dotlessi": "ı",
+}
+for _letter in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ":
+    _AGL[_letter] = _letter
+# accented-letter names compose systematically: base letter + accent
+import unicodedata as _ud  # noqa: E402  (table construction, module load)
+
+for _base in "aeiouyAEIOUY":
+    for _acc, _comb in (
+        ("acute", "́"), ("grave", "̀"),
+        ("circumflex", "̂"), ("dieresis", "̈"),
+        ("tilde", "̃"),
+    ):
+        _composed = _ud.normalize("NFC", _base + _comb)
+        if len(_composed) == 1:
+            _AGL[_base + _acc] = _composed
+
+# deterministic char -> name reverse map for the builder (sorted names,
+# first name wins on aliases)
+_AGL_REV: dict[str, str] = {}
+for _nm in sorted(_AGL):
+    _AGL_REV.setdefault(_AGL[_nm], _nm)
+
+_UNI_NAME_RE = re.compile(r"uni([0-9A-Fa-f]{4})\Z")
+_U_NAME_RE = re.compile(r"u([0-9A-Fa-f]{4,6})\Z")
+
+
+def _glyph_to_char(name: str) -> str | None:
+    """Glyph name -> character per the AGL algorithm (subset): the
+    explicit list, then uniXXXX (BMP, non-surrogate), then uXXXX[XX]."""
+    hit = _AGL.get(name)
+    if hit is not None:
+        return hit
+    m = _UNI_NAME_RE.match(name)
+    if m is None:
+        m = _U_NAME_RE.match(name)
+    if m is not None:
+        cp = int(m.group(1), 16)
+        if cp <= 0x10FFFF and not 0xD800 <= cp <= 0xDFFF:
+            return chr(cp)
+    return None
+
+
+_CMAP_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>|\[|\]")
+_MAX_CMAP_ENTRIES = 1 << 16
+
+
+def _cmap_hexbytes(tok: bytes) -> bytes:
+    tok = re.sub(rb"\s", b"", tok)
+    if len(tok) % 2:
+        tok += b"0"
+    return bytes.fromhex(tok.decode("ascii"))
+
+
+def _utf16be_str(b: bytes) -> str:
+    return b.decode("utf-16-be", "replace")
+
+
+def _parse_tounicode(data: bytes) -> tuple[tuple[int, ...], dict[bytes, str]]:
+    """Parse a /ToUnicode CMap stream (§9.10.3): codespacerange lengths
+    plus the bfchar/bfrange code -> Unicode mapping.  bfrange supports
+    both destination forms (incrementing start value, and explicit
+    array); range expansion is capped so a hostile <0000> <FFFF> sweep
+    cannot blow up memory (raises, contained per document by F18)."""
+    lengths: set[int] = set()
+    mapping: dict[bytes, str] = {}
+
+    def _grow(n: int) -> None:
+        if len(mapping) + n > _MAX_CMAP_ENTRIES:
+            raise ValueError("pdf parse: ToUnicode CMap too large")
+
+    for m in re.finditer(
+        rb"begincodespacerange(.*?)endcodespacerange", data, re.S
+    ):
+        for hm in _CMAP_HEX_RE.finditer(m.group(1)):
+            if hm.group(1) is not None:
+                lengths.add(len(_cmap_hexbytes(hm.group(1))))
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = [
+            _cmap_hexbytes(t.group(1))
+            for t in _CMAP_HEX_RE.finditer(m.group(1))
+            if t.group(1) is not None
+        ]
+        _grow(len(toks) // 2)
+        for i in range(0, len(toks) - 1, 2):
+            lengths.add(len(toks[i]))
+            mapping[toks[i]] = _utf16be_str(toks[i + 1])
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        toks: list = []  # bytes | "[" | "]"
+        for t in _CMAP_HEX_RE.finditer(m.group(1)):
+            toks.append(
+                _cmap_hexbytes(t.group(1)) if t.group(1) is not None
+                else t.group(0).decode("ascii")
+            )
+        i = 0
+        while i + 2 < len(toks) or (i + 2 == len(toks) and toks[-1] == "["):
+            lo, hi = toks[i], toks[i + 1]
+            if not isinstance(lo, bytes) or not isinstance(hi, bytes):
+                break
+            lengths.add(len(lo))
+            lo_i, hi_i = int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
+            if hi_i < lo_i:
+                raise ValueError("pdf parse: inverted bfrange")
+            count = hi_i - lo_i + 1
+            _grow(count)
+            nxt = toks[i + 2] if i + 2 < len(toks) else None
+            if nxt == "[":
+                j = i + 3
+                k = 0
+                while j < len(toks) and toks[j] != "]":
+                    if k < count and isinstance(toks[j], bytes):
+                        mapping[
+                            (lo_i + k).to_bytes(len(lo), "big")
+                        ] = _utf16be_str(toks[j])
+                    j += 1
+                    k += 1
+                i = j + 1
+            elif isinstance(nxt, bytes):
+                # the LAST UTF-16 unit of the start value increments
+                units = [
+                    int.from_bytes(nxt[u : u + 2], "big")
+                    for u in range(0, len(nxt) - 1, 2)
+                ]
+                for k in range(count):
+                    us = list(units)
+                    if us:
+                        us[-1] += k
+                    mapping[(lo_i + k).to_bytes(len(lo), "big")] = _utf16be_str(
+                        b"".join(u.to_bytes(2, "big") for u in us)
+                    )
+                i += 3
+            else:
+                break
+    return tuple(sorted(lengths)), mapping
+
+
+def _decode_utf8(b: bytes) -> str:
+    return b.decode("utf-8", "replace")
+
+
+def _decode_utf16be(b: bytes) -> str:
+    return b.decode("utf-16-be", "replace")
+
+
+def _table_decoder(table: list):
+    def decode(b: bytes) -> str:
+        return "".join(
+            table[c] if table[c] is not None else "�" for c in b
+        )
+
+    return decode
+
+
+def _cmap_decoder(lengths: tuple[int, ...], mapping: dict[bytes, str]):
+    """Fixed-length code consumption per the CMap's codespace lengths.
+    With several lengths present the shortest mapped prefix wins (the
+    synthetic builder emits uniform lengths; mixed-length real CMaps
+    degrade per-code, never derail the whole run)."""
+    ls = tuple(L for L in lengths if L > 0) or (1,)
+
+    def decode(b: bytes) -> str:
+        out = []
+        i = 0
+        n = len(b)
+        while i < n:
+            hit = None
+            for L in ls:
+                cand = b[i : i + L]
+                if cand in mapping:
+                    hit = mapping[cand]
+                    i += L
+                    break
+            if hit is None:
+                hit = "�"
+                i += ls[0]
+            out.append(hit)
+        return "".join(out)
+
+    return decode
+
+
+# ---------------------------------------------------------------------------
 # content-stream interpreter: text operators -> per-page text
 # ---------------------------------------------------------------------------
 
 _TEXT_OPS = frozenset(
-    ["BT", "ET", "Td", "TD", "T*", "Tm", "Tj", "'", '"', "TJ"]
+    ["BT", "ET", "Td", "TD", "T*", "Tm", "Tj", "'", '"', "TJ", "Tf"]
 )
 
 
-def _interpret_text(content: bytes) -> str:
+def _interpret_text(content: bytes, fonts: dict | None = None) -> str:
     """Run the text operators of one page's content stream.
 
-    Glyph-run bytes accumulate per line and decode as UTF-8 once per
-    line, so a ``TJ`` array that splits a multi-byte code point across
+    Glyph-run bytes accumulate per line as (font, bytes) runs — ``Tf``
+    switches the current font mid-line — and each run decodes with its
+    font's declared encoding (ToUnicode CMap / base encoding +
+    Differences / Type0 / UTF-8 fallback, see ``_font_decoder``).
+    Adjacent same-font runs concatenate BEFORE decoding, so a ``TJ``
+    array that splits a multi-byte code (UTF-8 or a 2-byte CID) across
     show strings still reassembles correctly.  A line-move operator
     before any show in the current text block is positioning, not a
     break (no phantom leading blank line)."""
+    fonts = fonts or {}
     lex = _Lexer(content)
-    lines: list[bytes] = []
-    cur = bytearray()
+    lines: list[str] = []
+    runs: list[tuple[str | None, bytearray]] = []  # current line
+    cur_font: str | None = None
     started = False  # has any show op run in the current text block?
 
+    def show(b: bytes) -> None:
+        nonlocal started
+        if runs and runs[-1][0] == cur_font:
+            runs[-1][1].extend(b)
+        else:
+            runs.append((cur_font, bytearray(b)))
+        started = True
+
+    def decode_line() -> str:
+        return "".join(
+            (fonts.get(f) or _decode_utf8)(bytes(b)) for f, b in runs
+        )
+
     def newline():
-        nonlocal cur, started
+        nonlocal runs
         if not started:
             return
-        lines.append(bytes(cur))
-        cur = bytearray()
+        lines.append(decode_line())
+        runs = []
 
     def flush_block():
-        nonlocal cur, started
+        nonlocal runs, started
         if started:
-            lines.append(bytes(cur))
-        cur = bytearray()
+            lines.append(decode_line())
+        runs = []
         started = False
 
     stack: list = []
@@ -1353,6 +2022,11 @@ def _interpret_text(content: bytes) -> str:
             pass
         elif op == "ET":
             flush_block()
+        elif op == "Tf":
+            for el in reversed(stack):
+                if isinstance(el, _Name):
+                    cur_font = str(el)
+                    break
         elif op in ("Td", "TD"):
             ty = stack[-1] if stack else 0
             if isinstance(ty, (int, float)) and ty != 0:
@@ -1363,27 +2037,24 @@ def _interpret_text(content: bytes) -> str:
             newline()
         elif op == "Tj":
             if stack and isinstance(stack[-1], bytes):
-                cur += stack[-1]
-                started = True
+                show(stack[-1])
         elif op == "'":
             newline()
             if stack and isinstance(stack[-1], bytes):
-                cur += stack[-1]
-                started = True
+                show(stack[-1])
         elif op == '"':
             newline()
             if stack and isinstance(stack[-1], bytes):
-                cur += stack[-1]
-                started = True
+                show(stack[-1])
         elif op == "TJ":
             if stack and isinstance(stack[-1], list):
-                for el in stack[-1]:
-                    if isinstance(el, bytes):
-                        cur += el
-                started = True
+                shown = b"".join(
+                    el for el in stack[-1] if isinstance(el, bytes)
+                )
+                show(shown)
         stack = []
     flush_block()
-    return "\n".join(b.decode("utf-8", "replace") for b in lines)
+    return "\n".join(lines)
 
 
 def extract_pdf_pages(data: bytes) -> list[str]:
@@ -1398,4 +2069,6 @@ def extract_pdf_pages(data: bytes) -> list[str]:
     pages = doc.pages()
     if not pages:
         raise ValueError("pdf parse: no pages in page tree")
-    return [_interpret_text(doc.page_content(p)) for p in pages]
+    return [
+        _interpret_text(doc.page_content(p), doc.page_fonts(p)) for p in pages
+    ]
