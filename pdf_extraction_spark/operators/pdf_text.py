@@ -136,11 +136,13 @@ def _encrypted_roundtrip_batches(
             half = len(t) // 2
             blob = build_pdf(
                 [t[:half], t[half:]],
-                # both handler revisions; layouts alternate so decryption
-                # composes with xref streams, ObjStm packing (the whole
-                # packed payload is one encrypted stream), and — every
-                # 7th id — the damaged-xref scan recovery
-                encrypt="rc4-128" if doc_id % 2 else "rc4-40",
+                # all three handler flavors — RC4 R2, RC4 R3, and V4/R4
+                # AES-128 crypt filters (round-5 verdict ask #3); layouts
+                # alternate so decryption composes with xref streams,
+                # ObjStm packing (the whole packed payload is one
+                # encrypted stream), and — every 7th id — the
+                # damaged-xref scan recovery
+                encrypt={0: "rc4-40", 1: "rc4-128", 2: "aes-128"}[doc_id % 3],
                 xref_stream=doc_id % 3 == 0,
                 use_objstm=doc_id % 6 == 0,
             )
@@ -159,10 +161,10 @@ def extract_pdf_encrypted_roundtrip(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """Like extract_pdf_roundtrip, but every document is ENCRYPTED with
-    the standard security handler (RC4 V1/R2 40-bit for even ids,
-    V2/R3 128-bit for odd) and empty passwords — the parser must verify
-    /U, derive the file key, and RC4-decrypt every stream before any
-    filter runs."""
+    the standard security handler (doc_id%3 cycles RC4 V1/R2 40-bit,
+    RC4 V2/R3 128-bit, and V4/R4 AES-128 /AESV2 crypt filters) with
+    empty passwords — the parser must verify /U, derive the file key,
+    walk /CF for V4, and decrypt every stream before any filter runs."""
     src = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).cast("string").alias("text"),

@@ -60,15 +60,22 @@ import re
 import struct
 import zlib
 
+from pdf_extraction_spark.crypto_aes import (
+    aes128_cbc_decrypt,
+    aes128_cbc_encrypt,
+)
+
 # ---------------------------------------------------------------------------
-# standard security handler (encrypted PDFs): RC4, revisions 2 and 3 —
-# the 40/128-bit "password" encryption legacy web PDFs carry.  The
-# empty-user-password case (open-for-anyone, permissions-only) is the
-# one a crawl actually hits; non-empty passwords raise.  V4+/AES is out
-# of scope and raises (contained per document by the kernel's guard).
-# Strings are not separately decrypted: in this engine's subset all
-# text lives in (encrypted) content STREAMS, and the O/U entries of
-# the encryption dictionary itself are exempt by spec.
+# standard security handler (encrypted PDFs): RC4 revisions 2/3 (the
+# 40/128-bit legacy encryption) AND V4/R4 crypt filters — /CF /StdCF
+# with /CFM /V2 (RC4) or /AESV2 (AES-128-CBC, pure-Python FIPS-197
+# implementation in crypto_aes.py) — which mid-2000s web PDFs carry.
+# The empty-user-password case (open-for-anyone, permissions-only) is
+# the one a crawl actually hits; non-empty passwords raise.  V5+/AES-256
+# is out of scope and raises (contained per document by the kernel's
+# guard).  Strings are not separately decrypted: in this engine's
+# subset all text lives in (encrypted) content STREAMS, and the O/U
+# entries of the encryption dictionary itself are exempt by spec.
 # ---------------------------------------------------------------------------
 
 _PDF_PAD = bytes(
@@ -118,14 +125,23 @@ def _std_owner_entry(owner_pw: bytes, user_pw: bytes, rev: int, klen: int) -> by
 
 
 def _std_file_key(
-    user_pw: bytes, o_entry: bytes, perms: int, id0: bytes, rev: int, klen: int
+    user_pw: bytes,
+    o_entry: bytes,
+    perms: int,
+    id0: bytes,
+    rev: int,
+    klen: int,
+    meta_false: bool = False,
 ) -> bytes:
-    """Algorithm 2: the file encryption key."""
+    """Algorithm 2: the file encryption key (R4 with /EncryptMetadata
+    false appends 0xFFFFFFFF to the digest input)."""
     md = hashlib.md5()
     md.update(_pad_password(user_pw))
     md.update(o_entry)
     md.update(struct.pack("<i", perms))
     md.update(id0)
+    if rev >= 4 and meta_false:
+        md.update(b"\xff\xff\xff\xff")
     h = md.digest()
     if rev >= 3:
         for _ in range(50):
@@ -144,12 +160,17 @@ def _std_user_entry(key: bytes, id0: bytes, rev: int) -> bytes:
     return u + b"\x00" * 16
 
 
-def _std_object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
-    """Algorithm 1: the per-object RC4 key (V1/V2)."""
+def _std_object_key(
+    file_key: bytes, num: int, gen: int = 0, aes: bool = False
+) -> bytes:
+    """Algorithm 1: the per-object key (V1/V2 RC4; V4 AESV2 appends the
+    spec's ``sAlT`` constant to the digest input)."""
     md = hashlib.md5()
     md.update(file_key)
     md.update(num.to_bytes(3, "little"))
     md.update(gen.to_bytes(2, "little"))
+    if aes:
+        md.update(b"sAlT")
     return md.digest()[: min(len(file_key) + 5, 16)]
 
 
@@ -448,12 +469,15 @@ def build_pdf(
       << /Predictor 12 /Columns 7 >>``) to the xref stream rows before
       deflate — the layout Acrobat and most writers actually emit;
       requires ``xref_stream``.
-    * ``encrypt``: ``"rc4-40"`` (V1/R2) or ``"rc4-128"`` (V2/R3) applies
+    * ``encrypt``: ``"rc4-40"`` (V1/R2), ``"rc4-128"`` (V2/R3) or
+      ``"aes-128"`` (V4/R4 with an /AESV2 /StdCF crypt filter) applies
       the standard security handler with EMPTY owner/user passwords —
       the open-for-anyone permissions-only encryption legacy web PDFs
-      carry: every stream is RC4'd with its per-object key, the trailer
-      gains ``/Encrypt`` + ``/ID``, and the parser must verify ``/U``
-      and decrypt to read anything.
+      carry: every stream is encrypted with its per-object key (AESV2:
+      deterministic per-object IV + CBC + PKCS#5 padding, so /Length
+      reflects the ciphertext), the trailer gains ``/Encrypt`` +
+      ``/ID``, and the parser must verify ``/U`` and decrypt to read
+      anything.
     * ``font``: ``None`` keeps the legacy fixture font (no /Encoding —
       glyph bytes ARE UTF-8, the documented fallback contract).
       ``"winansi"`` / ``"macroman"`` emit honestly-encoded simple fonts:
@@ -477,10 +501,48 @@ def build_pdf(
     streams: dict[int, bytes] = {}
     objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
 
-    def _enc_stream(payload: bytes) -> tuple[bytes, bytes]:
+    # ---- standard security handler setup (streams are protected at
+    # creation time: AESV2 changes lengths, so /Length must be written
+    # over the ciphertext; for RC4 the bytes are identical either way)
+    enc_v = enc_rev = enc_klen = 0
+    enc_cfm = None
+    file_key = o_entry = u_entry = id0 = b""
+    enc_perms = -44  # print+copy allowed, modify denied — a typical mask
+    if encrypt:
+        if encrypt == "rc4-40":
+            enc_v, enc_rev, enc_klen = 1, 2, 5
+        elif encrypt == "rc4-128":
+            enc_v, enc_rev, enc_klen = 2, 3, 16
+        elif encrypt == "aes-128":
+            enc_v, enc_rev, enc_klen, enc_cfm = 4, 4, 16, "AESV2"
+        else:
+            raise ValueError(
+                "encrypt must be 'rc4-40', 'rc4-128' or 'aes-128'"
+            )
+        id0 = hashlib.md5(
+            b"synthetic-pdf-id\x00"
+            + "\x00".join(pages).encode("utf-8", "surrogatepass")
+        ).digest()
+        o_entry = _std_owner_entry(b"", b"", enc_rev, enc_klen)
+        file_key = _std_file_key(b"", o_entry, enc_perms, id0, enc_rev, enc_klen)
+        u_entry = _std_user_entry(file_key, id0, enc_rev)
+
+    def _protect(num: int, data: bytes) -> bytes:
+        if not encrypt:
+            return data
+        if enc_cfm == "AESV2":
+            iv = hashlib.md5(b"aes-iv" + id0 + str(num).encode("ascii")).digest()
+            return aes128_cbc_encrypt(
+                _std_object_key(file_key, num, aes=True), iv, data
+            )
+        return _rc4(_std_object_key(file_key, num), data)
+
+    def _enc_stream(num: int, payload: bytes) -> tuple[bytes, bytes]:
         if compress:
-            return zlib.compress(payload, 9), b" /Filter /FlateDecode"
-        return payload, b""
+            return _protect(num, zlib.compress(payload, 9)), (
+                b" /Filter /FlateDecode"
+            )
+        return _protect(num, payload), b""
 
     # ---- font objects (ids from 3 up; count depends on the mode) ----
     font_ids: list[int] = []
@@ -525,7 +587,7 @@ def build_pdf(
                 cmap_id = next_id
                 next_id += 1
                 data, filt = _enc_stream(
-                    _tounicode_stream(spec["cmap"], spec["nbytes"])
+                    cmap_id, _tounicode_stream(spec["cmap"], spec["nbytes"])
                 )
                 objects[cmap_id] = (
                     b"<< /Length " + str(len(data)).encode("ascii")
@@ -548,7 +610,7 @@ def build_pdf(
                     b" /CIDToGIDMap /Identity >>"
                 )
                 data, filt = _enc_stream(
-                    _tounicode_stream(spec["cmap"], spec["nbytes"])
+                    cmap_id, _tounicode_stream(spec["cmap"], spec["nbytes"])
                 )
                 objects[cmap_id] = (
                     b"<< /Length " + str(len(data)).encode("ascii")
@@ -594,6 +656,7 @@ def build_pdf(
         else:
             data = raw
             filt = b""
+        data = _protect(cid, data)
         if indirect_length:
             length = f"{len_ids[i]} 0 R".encode("ascii")
             objects[len_ids[i]] = str(len(data)).encode("ascii")
@@ -615,40 +678,30 @@ def build_pdf(
             body += objects.pop(num) + b"\n"
             in_objstm[num] = idx
         payload = bytes(header) + body
-        data = zlib.compress(payload, 9)
+        data = _protect(objstm_id, zlib.compress(payload, 9))
         objects[objstm_id] = (
             f"<< /Type /ObjStm /N {len(packed)} /First {len(header)}"
             f" /Length {len(data)} /Filter /FlateDecode >>"
         ).encode("ascii")
         streams[objstm_id] = data
 
-    # standard security handler: RC4 every stream with its per-object
-    # key (lengths are preserved, so the /Length values above hold);
     # the encryption dictionary itself is a top-level object (the spec
-    # forbids packing it into an ObjStm) and is never encrypted
+    # forbids packing it into an ObjStm) and is never encrypted; the
+    # streams were protected at creation time above
     enc_extra = b""
     if encrypt:
-        if encrypt == "rc4-40":
-            v, rev, klen = 1, 2, 5
-        elif encrypt == "rc4-128":
-            v, rev, klen = 2, 3, 16
-        else:
-            raise ValueError("encrypt must be 'rc4-40' or 'rc4-128'")
-        perms = -44  # print+copy allowed, modify denied — a typical mask
-        id0 = hashlib.md5(
-            b"synthetic-pdf-id\x00"
-            + "\x00".join(pages).encode("utf-8", "surrogatepass")
-        ).digest()
-        o_entry = _std_owner_entry(b"", b"", rev, klen)
-        file_key = _std_file_key(b"", o_entry, perms, id0, rev, klen)
-        u_entry = _std_user_entry(file_key, id0, rev)
         enc_id = max(max(objects), objstm_id) + 1
+        cf = ""
+        if enc_cfm is not None:
+            cf = (
+                f" /CF << /StdCF << /CFM /{enc_cfm} /Length {enc_klen} >> >>"
+                f" /StmF /StdCF /StrF /StdCF"
+            )
         objects[enc_id] = (
-            f"<< /Filter /Standard /V {v} /R {rev} /Length {klen * 8}"
-            f" /P {perms} /O <{o_entry.hex()}> /U <{u_entry.hex()}> >>"
+            f"<< /Filter /Standard /V {enc_v} /R {enc_rev}"
+            f" /Length {enc_klen * 8} /P {enc_perms}"
+            f" /O <{o_entry.hex()}> /U <{u_entry.hex()}>{cf} >>"
         ).encode("ascii")
-        for snum in list(streams):
-            streams[snum] = _rc4(_std_object_key(file_key, snum), streams[snum])
         idhex = id0.hex()
         enc_extra = (
             f" /Encrypt {enc_id} 0 R /ID [ <{idhex}> <{idhex}> ]".encode("ascii")
@@ -1269,6 +1322,7 @@ class _Document:
         self._streams: dict[int, bytes] = {}
         self.in_objstm: dict[int, tuple[int, int]] = {}
         self._enc_key: bytes | None = None
+        self._enc_cfm: str = "rc4"
         self.offsets = self._load_xref()
         self._init_encryption()
 
@@ -1289,11 +1343,48 @@ class _Document:
             raise ValueError("pdf parse: unsupported encryption handler")
         v = int(self.resolve(enc.get("V", 0)))
         rev = int(self.resolve(enc.get("R", 0)))
-        if v not in (1, 2) or rev not in (2, 3):
+        if not (v in (1, 2) and rev in (2, 3)) and not (v == 4 and rev == 4):
             raise ValueError("pdf parse: unsupported encryption version")
-        klen = int(self.resolve(enc.get("Length", 40))) // 8 if v == 2 else 5
+        if v == 1:
+            klen = 5
+        else:
+            klen = int(self.resolve(enc.get("Length", 40 if v == 2 else 128))) // 8
         if not 5 <= klen <= 16:
             raise ValueError("pdf parse: bad key length")
+        cfm = "rc4"
+        if v == 4:
+            # crypt-filter dictionary walk (§7.6.5): the stream filter
+            # named by /StmF resolves through /CF to its /CFM method
+            stmf = str(enc.get("StmF", "Identity"))
+            if stmf == "Identity":
+                cfm = "identity"
+            else:
+                cf = self.resolve(enc.get("CF"))
+                cfdict = (
+                    self.resolve(cf.get(stmf)) if isinstance(cf, dict) else None
+                )
+                method = (
+                    str(cfdict.get("CFM", "")) if isinstance(cfdict, dict)
+                    else ""
+                )
+                if method == "AESV2":
+                    cfm = "aesv2"
+                    cf_len = cfdict.get("Length")
+                    if cf_len is not None:
+                        # /CF /Length is in BYTES (some writers use bits;
+                        # accept both spellings of 128-bit)
+                        cl = int(self.resolve(cf_len))
+                        klen = cl // 8 if cl >= 40 else cl
+                elif method == "V2":
+                    cfm = "rc4"
+                else:
+                    raise ValueError(
+                        f"pdf parse: unsupported crypt filter {method!r}"
+                    )
+            if not 5 <= klen <= 16:
+                raise ValueError("pdf parse: bad key length")
+            if self.resolve(enc.get("EncryptMetadata")) is False:
+                self._enc_meta_false = True
         o_entry = enc.get("O")
         u_entry = enc.get("U")
         if not isinstance(o_entry, bytes) or not isinstance(u_entry, bytes):
@@ -1305,13 +1396,17 @@ class _Document:
             if isinstance(ids, list) and ids and isinstance(ids[0], bytes)
             else b""
         )
-        key = _std_file_key(b"", o_entry, perms, id0, rev, klen)
+        key = _std_file_key(
+            b"", o_entry, perms, id0, rev, klen,
+            meta_false=getattr(self, "_enc_meta_false", False),
+        )
         expect = _std_user_entry(key, id0, rev)
-        # R3 compares only the first 16 bytes (the tail is arbitrary)
+        # R3+ compares only the first 16 bytes (the tail is arbitrary)
         ok = expect[:16] == u_entry[:16] if rev >= 3 else expect == u_entry[:32]
         if not ok:
             raise ValueError("pdf parse: password required")
         self._enc_key = key
+        self._enc_cfm = cfm
 
     # -- xref ---------------------------------------------------------------
 
@@ -1573,7 +1668,12 @@ class _Document:
             # decrypt BEFORE filters; cross-reference streams are never
             # encrypted (the spec exempts them — they must be readable
             # to find the /Encrypt dictionary in the first place)
-            raw = _rc4(_std_object_key(self._enc_key, num), raw)
+            if self._enc_cfm == "aesv2":
+                raw = aes128_cbc_decrypt(
+                    _std_object_key(self._enc_key, num, aes=True), raw
+                )
+            elif self._enc_cfm != "identity":
+                raw = _rc4(_std_object_key(self._enc_key, num), raw)
         filt = self.resolve(obj.get("Filter")) if isinstance(obj, dict) else None
         parms = (
             self.resolve(obj.get("DecodeParms")) if isinstance(obj, dict) else None
