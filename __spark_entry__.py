@@ -1885,11 +1885,14 @@ FROM documents
 def q_ocr_raster_roundtrip(spark, sf_dir):
     """The reference's scanned-PDF path (pdfextraction.py:16,72-73:
     convert_from_bytes -> PIL -> pytesseract), re-created from scratch
-    over the constrained synthetic subset: each document's text becomes
-    real %PDF bytes (build_pdf), the from-scratch parser recovers the
-    page, a deterministic 8x8 bitmap font rasterizes it, the real
-    baseline-JPEG codec compresses and decodes the page image, and a
-    template-matching OCR pass reads the text back.  The oracle never
+    over the constrained synthetic subset — now starting from a REAL
+    scanned-style PDF (round-5): a deterministic 8x8 bitmap font
+    rasterizes the text, the real baseline-JPEG codec compresses it,
+    build_pdf embeds that JPEG as an /XObject /Image /Filter /DCTDecode
+    on an image-only page (no text layer — the layout actual scans
+    have), the from-scratch parser lists and returns the image stream
+    bit-exactly, the JPEG decodes, and a template-matching OCR pass
+    reads the text back.  The oracle never
     runs any of that — it replays only the charset projection
     (non-printable-ASCII -> '?', capped at the 128-char page), so the
     value hash breaks if ANY leg of the chain (PDF build/parse, glyph

@@ -434,6 +434,28 @@ def _page_content(lines: list[str]) -> bytes:
     return b"\n".join(ops) + b"\n"
 
 
+def _jpeg_sof_dims(j: bytes) -> tuple[int, int]:
+    """(width, height) from a JFIF stream's SOF0/1/2 marker — the only
+    probe the builder needs to size an image XObject."""
+    if j[:2] != b"\xff\xd8":
+        raise ValueError("build_pdf: image is not a JPEG")
+    i = 2
+    while i + 9 < len(j):
+        if j[i] != 0xFF:
+            i += 1
+            continue
+        m = j[i + 1]
+        if m in (0xC0, 0xC1, 0xC2):
+            h = int.from_bytes(j[i + 5 : i + 7], "big")
+            w = int.from_bytes(j[i + 7 : i + 9], "big")
+            return w, h
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        i += 2 + int.from_bytes(j[i + 2 : i + 4], "big")
+    raise ValueError("build_pdf: no SOF marker in image")
+
+
 def build_pdf(
     pages: list[str],
     *,
@@ -444,6 +466,7 @@ def build_pdf(
     predictor: bool = False,
     encrypt: str | None = None,
     font: str | None = None,
+    images: list[bytes | None] | None = None,
 ) -> bytes:
     """Emit a complete, spec-shaped PDF whose N pages show the given
     texts.  Each page text is split on ``\\n`` into shown lines (other
@@ -489,6 +512,13 @@ def build_pdf(
       CMap; ``"cid"`` emits a Type0/Identity-H composite font with
       2-byte codes and a CMap.  In every mode
       ``extract_pdf_pages(build_pdf(pages, font=m))`` is the identity.
+    * ``images``: optional per-page JPEG bytes (aligned with ``pages``;
+      None skips a page).  Each JPEG embeds VERBATIM as an
+      ``/XObject /Image /Filter /DCTDecode`` (grayscale, dims probed
+      from its SOF marker) painted by a ``cm``+``Do`` before the text —
+      the scanned-page layout the reference's OCR path consumes
+      (pdfextraction.py:16).  ``extract_pdf_images`` returns the
+      embedded bytes bit-exactly.
     """
     if (use_objstm or predictor) and not xref_stream:
         raise ValueError("use_objstm/predictor require xref_stream")
@@ -625,6 +655,24 @@ def build_pdf(
                     + f"{cmap_id} 0 R".encode("ascii") + b" >>"
                 )
 
+    # ---- image XObjects: verbatim DCTDecode streams, one per page ----
+    img_info: list[tuple[int, int, int] | None] = [None] * n
+    if images:
+        for i, jb in enumerate(images[:n]):
+            if jb is None:
+                continue
+            iid = next_id
+            next_id += 1
+            w, h = _jpeg_sof_dims(jb)
+            data = _protect(iid, jb)
+            objects[iid] = (
+                f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h}"
+                f" /ColorSpace /DeviceGray /BitsPerComponent 8"
+                f" /Filter /DCTDecode /Length {len(data)} >>"
+            ).encode("ascii")
+            streams[iid] = data
+            img_info[i] = (iid, w, h)
+
     # ---- page tree + content streams ----
     page_ids = [next_id + i for i in range(n)]
     content_ids = [next_id + n + i for i in range(n)]
@@ -639,15 +687,22 @@ def build_pdf(
         f"/F{i + 1} {fid} 0 R" for i, fid in enumerate(font_ids)
     )
     for i, (pid, cid) in enumerate(zip(page_ids, content_ids)):
+        res_xobj = ""
+        paint = b""
+        if img_info[i] is not None:
+            iid, w, h = img_info[i]
+            res_xobj = f" /XObject << /Im1 {iid} 0 R >>"
+            paint = f"q {w} 0 0 {h} 0 0 cm /Im1 Do Q\n".encode("ascii")
         objects[pid] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ]"
-            f" /Resources << /Font << {res_font} >> >>"
+            f" /Resources << /Font << {res_font} >>{res_xobj} >>"
             f" /Contents {cid} 0 R >>"
         ).encode("ascii")
         if charmap is None:
             raw = _page_content(page_lines[i])
         else:
             raw = _page_content_encoded(page_lines[i], charmap)
+        raw = paint + raw
         fname = "flate" if compress is True else compress
         if fname:
             pdf_name, encoder = _BUILD_FILTERS[fname]
@@ -1657,7 +1712,9 @@ class _Document:
             v = self.get(v.num)
         return v
 
-    def stream_bytes(self, num: int) -> bytes:
+    def raw_stream_bytes(self, num: int) -> bytes:
+        """Stream bytes decrypted but NOT filter-decoded — what an image
+        XObject consumer wants (its /DCTDecode payload IS the JPEG)."""
         obj = self.resolve(self.get(num))  # ensure loaded
         if num not in self._streams:
             raise ValueError(f"pdf parse: object {num} has no stream")
@@ -1674,6 +1731,11 @@ class _Document:
                 )
             elif self._enc_cfm != "identity":
                 raw = _rc4(_std_object_key(self._enc_key, num), raw)
+        return raw
+
+    def stream_bytes(self, num: int) -> bytes:
+        raw = self.raw_stream_bytes(num)
+        obj = self.resolve(self.get(num))
         filt = self.resolve(obj.get("Filter")) if isinstance(obj, dict) else None
         parms = (
             self.resolve(obj.get("DecodeParms")) if isinstance(obj, dict) else None
@@ -2172,3 +2234,48 @@ def extract_pdf_pages(data: bytes) -> list[str]:
     return [
         _interpret_text(doc.page_content(p), doc.page_fonts(p)) for p in pages
     ]
+
+
+def extract_pdf_images(data: bytes) -> list[list[dict]]:
+    """Per-page image-XObject listing — the input side of the
+    reference's scanned-PDF path (pdfextraction.py:16 rasterizes the
+    page; a real scanned page IS one embedded image).  Returns, per
+    page, one dict per /Subtype /Image XObject: name, width, height,
+    filter, colorspace, and ``data`` — the stream bytes decrypted but
+    NOT filter-decoded, so a /DCTDecode image's data is the embedded
+    JPEG bit-exactly (asserted in tests/test_pdf_images.py).  Raises
+    ValueError on unsupported bytes like extract_pdf_pages (contained
+    per document by the kernel's F18 guard)."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("pdf parse: missing %PDF header")
+    doc = _Document(data)
+    pages = doc.pages()
+    if not pages:
+        raise ValueError("pdf parse: no pages in page tree")
+    out: list[list[dict]] = []
+    for p in pages:
+        res = doc.resolve(p.get("Resources"))
+        imgs: list[dict] = []
+        xobj = doc.resolve(res.get("XObject")) if isinstance(res, dict) else None
+        if isinstance(xobj, dict):
+            for name in sorted(xobj, key=str):
+                ref = xobj[name]
+                o = doc.resolve(ref)
+                if not (
+                    isinstance(o, dict)
+                    and o.get("Subtype") == "Image"
+                    and isinstance(ref, _Ref)
+                ):
+                    continue
+                imgs.append(
+                    {
+                        "name": str(name),
+                        "width": int(doc.resolve(o.get("Width", 0))),
+                        "height": int(doc.resolve(o.get("Height", 0))),
+                        "filter": str(doc.resolve(o.get("Filter", ""))),
+                        "colorspace": str(doc.resolve(o.get("ColorSpace", ""))),
+                        "data": doc.raw_stream_bytes(ref.num),
+                    }
+                )
+        out.append(imgs)
+    return out
