@@ -1921,6 +1921,36 @@ FROM s
 """
 
 
+def q_extract_pdf_scanned(spark, sf_dir):
+    """Scanned-document ingestion as a first-class query (round-5,
+    NEW — parked in all_queries() until the round-6 promotion window;
+    the driver snapshot is already taken this round): each document's
+    text rasterizes to a JPEG embedded in a REAL scanned-style PDF
+    (/XObject /Image /Filter /DCTDecode, image-only page; layouts and
+    rc4/aes encryption vary by doc_id), and the query recovers the
+    image listing's metadata AND the OCR'd text.  The oracle replays
+    only construction constants (1 image, 128x64, DCTDecode) and the
+    charset projection — any defect in the embed, the listing, the
+    decrypt-without-decode path, the JPEG codec, or the OCR breaks the
+    value hash."""
+    from pdf_extraction_spark.operators.ocr import scanned_pdf_extract
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return scanned_pdf_extract(d, "doc_id", "text")
+
+
+_ORACLE_PDF_SCANNED = """
+SELECT doc_id,
+       CAST(1 AS INT) AS n_images,
+       CAST(128 AS INT) AS img_width,
+       CAST(64 AS INT) AS img_height,
+       'DCTDecode' AS img_filter,
+       substr(regexp_replace(coalesce(text, ''), '[^ -~]', '?', 'g'), 1, 128)
+         AS recovered_text
+FROM documents
+"""
+
+
 def q_extract_pdf_text(spark, sf_dir):
     """Text extraction from REAL %PDF bytes (the reference's core
     capability, pdfextraction.py:33-35 / app.py:46-52): each document's
@@ -2903,6 +2933,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_jpeg_meta": q_multimodal_jpeg_meta,
         "ocr_raster_roundtrip": q_ocr_raster_roundtrip,
+        "extract_pdf_scanned": q_extract_pdf_scanned,
         "extract_pdf_encrypted": q_extract_pdf_encrypted,
         "multimodal_tiff_decode": q_multimodal_tiff_decode,
         "extract_docx_text": q_extract_docx_text,
@@ -3127,6 +3158,7 @@ def all_oracles() -> dict[str, str]:
         "multimodal_jpeg_progressive": _ORACLE_JPEG_DECODE,
         "multimodal_jpeg_meta": _ORACLE_JPEG_META,
         "ocr_raster_roundtrip": _ORACLE_OCR_ROUNDTRIP,
+        "extract_pdf_scanned": _ORACLE_PDF_SCANNED,
         "extract_pdf_encrypted": _ORACLE_PDF_TEXT,
         "multimodal_tiff_decode": _ORACLE_TIFF_DECODE,
         "extract_docx_text": _ORACLE_DOCX_TEXT,

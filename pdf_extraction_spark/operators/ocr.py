@@ -153,9 +153,79 @@ def _ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def ocr_roundtrip(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """text -> PDF -> parse -> raster -> JPEG -> decode -> OCR, one
-    Arrow-batched mapInPandas pass per document."""
+    """text -> raster -> JPEG -> scanned-style PDF -> image listing ->
+    decode -> OCR, one Arrow-batched mapInPandas pass per document."""
     src = df.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
     )
     return src.mapInPandas(_ocr_batches, schema=OCR_SCHEMA)
+
+
+SCANNED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_images", IntegerType()),
+        StructField("img_width", IntegerType()),
+        StructField("img_height", IntegerType()),
+        StructField("img_filter", StringType()),
+        StructField("recovered_text", StringType()),
+    ]
+)
+
+
+def _scanned_one(doc_id: int, text: str) -> tuple[int, int, int, str, str]:
+    """Build a scanned-style PDF for one document and recover both the
+    image-XObject metadata and the OCR'd text.  Layout and encryption
+    vary analytically so the listing is exercised through xref streams,
+    ObjStm packing, and both crypt-filter families."""
+    page = sanitize_text(text or "")
+    jpeg = encode_baseline_jpeg(render_page(page))
+    pdf = build_pdf(
+        [""],
+        images=[jpeg],
+        xref_stream=doc_id % 2 == 1,
+        use_objstm=doc_id % 4 == 1,
+        encrypt={0: None, 1: "rc4-128", 2: "aes-128"}[doc_id % 3],
+    )
+    imgs = extract_pdf_images(pdf)
+    if not imgs or not imgs[0]:
+        return 0, 0, 0, "", ""
+    im = imgs[0][0]
+    decoded = parse_jpeg(im["data"])
+    rec = "" if decoded is None else ocr_page(decoded[3][:, :, 0])
+    return (
+        sum(len(pg) for pg in imgs),
+        im["width"],
+        im["height"],
+        im["filter"],
+        rec,
+    )
+
+
+def _scanned_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k.name: [] for k in SCANNED_SCHEMA.fields}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            doc_id = int(doc_id)
+            n, w, h, filt, rec = _scanned_one(
+                doc_id, text if isinstance(text, str) else ""
+            )
+            out["doc_id"].append(doc_id)
+            out["n_images"].append(n)
+            out["img_width"].append(w)
+            out["img_height"].append(h)
+            out["img_filter"].append(filt)
+            out["recovered_text"].append(rec)
+        yield pd.DataFrame(out)
+
+
+def scanned_pdf_extract(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Scanned-document ingestion as a first-class query: per document,
+    the image-XObject listing's metadata (count/dims/filter) AND the
+    OCR-recovered text, all value-checked by an analytic oracle (the
+    constants are fixed by construction; the text is the sanitize
+    identity)."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(_scanned_batches, schema=SCANNED_SCHEMA)

@@ -113,6 +113,7 @@ def test_codec_entries_are_single_pass_no_shuffle(spark):
         "multimodal_mp4_meta",
         "multimodal_mp3_meta",
         "extract_epub_text",
+        "extract_pdf_scanned",
     ):
         plan = _formatted_plan(qs[name](spark, "/root/testdata/sf0.001"))
         assert "MapInPandas" in plan or "ArrowEvalPython" in plan, (name, plan)
