@@ -2209,16 +2209,21 @@ FROM v GROUP BY doc_id, w, h
 
 def q_extract_pdf_encrypted(spark, sf_dir):
     """Text extraction from ENCRYPTED %PDF bytes: the standard security
-    handler with empty passwords (RC4 V1/R2 40-bit for even doc_ids,
-    V2/R3 128-bit for odd) — the open-for-anyone permissions-only
-    encryption legacy web PDFs carry.  The from-scratch parser verifies
-    /U with Algorithm 4/5, derives the file key (Algorithm 2 incl. the
-    R3 50-fold MD5), and RC4-decrypts every stream with its per-object
-    key before filters; layouts alternate xref table / xref stream /
-    ObjStm and every 7th id vandalizes startxref so scan recovery runs
-    THROUGH decryption.  The oracle is the same analytic identity as
-    extract_pdf_text — any key-derivation or decryption defect breaks
-    the value hash on every row."""
+    handler with empty passwords (doc_id%5 cycles RC4 V1/R2 40-bit,
+    V2/R3 128-bit, V4/R4 AES-128 /AESV2, V5/R6 AES-256 /AESV3 — ISO
+    32000-2 Algorithm 2.B hash, /UE file-key unwrap, /Perms integrity
+    check — and the deprecated Acrobat-9 V5/R5) — the open-for-anyone
+    permissions-only encryption legacy web PDFs carry.  The
+    from-scratch parser verifies /U (Algorithms 4/5, or the V5 salted
+    hash), derives the file key (Algorithm 2 incl. the R3 50-fold MD5;
+    V5: AES-256-CBC unwrap of /UE), walks the /CF crypt-filter
+    dictionary for V4/V5, and decrypts every stream (AES: CBC +
+    prepended IV + PKCS#5; V5 with the file key directly, V4 with the
+    per-object MD5 key) before filters; layouts alternate xref table /
+    xref stream / ObjStm and every 7th id vandalizes startxref so scan
+    recovery runs THROUGH decryption.  The oracle is the same analytic
+    identity as extract_pdf_text — any key-derivation or decryption
+    defect breaks the value hash on every row."""
     from pdf_extraction_spark.operators.pdf_text import (
         extract_pdf_encrypted_roundtrip,
     )

@@ -1,15 +1,19 @@
-"""Pure-Python AES-128 + CBC for V4 encrypted PDFs (no crypto libs).
+"""Pure-Python AES-128/192/256 + CBC/ECB for encrypted PDFs (no crypto libs).
 
 Spec-pinned to FIPS-197: the S-box pair is generated from the GF(2^8)
 inverse + affine transform (not pasted tables), key expansion follows
-§5.2, and the cipher/inverse-cipher follow §5.1/§5.3; the FIPS-197
-Appendix B/C vectors are asserted in tests/test_pdf_aes.py.  The CBC
-layer implements the PDF AESV2 crypt filter scheme (PDF 32000 §7.6.2):
-a 16-byte IV prepended to the ciphertext and PKCS#5 padding.
+§5.2 (including the extra SubWord step for Nk > 6, i.e. AES-256), and
+the cipher/inverse-cipher follow §5.1/§5.3; the FIPS-197 Appendix B/C
+vectors for all three key sizes are asserted in tests/test_pdf_aes.py
+and tests/test_pdf_aes256.py.  The padded CBC layer implements the PDF
+AESV2/AESV3 crypt filter scheme (PDF 32000 §7.6.2): a 16-byte IV
+prepended to the ciphertext and PKCS#5 padding.  The no-pad CBC and
+single-block ECB helpers are what ISO 32000-2's V5 key machinery uses
+(Algorithm 2.B's hash loop, the /UE///OE key unwrap, the /Perms check).
 
 Scale note: this runs inside Arrow-batched mapInPandas kernels on
 (small) per-document streams; pure-Python AES is the honest in-env
-cost of reading V4 PDFs, exactly like the from-scratch JPEG decoder.
+cost of reading V4/V5 PDFs, exactly like the from-scratch JPEG decoder.
 """
 
 from __future__ import annotations
@@ -69,18 +73,24 @@ _M2, _M3, _M9, _M11, _M13, _M14 = (
 
 
 def _expand_key(key: bytes) -> list[list[int]]:
-    """FIPS-197 §5.2: 11 round keys of 16 bytes each (AES-128)."""
-    if len(key) != 16:
-        raise ValueError("aes: AES-128 requires a 16-byte key")
-    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """FIPS-197 §5.2 for Nk in {4, 6, 8}: Nr+1 round keys of 16 bytes
+    (AES-128/192/256).  For Nk > 6 the schedule applies an extra SubWord
+    (no rotate, no Rcon) at i % Nk == 4 — the AES-256 wrinkle."""
+    if len(key) not in (16, 24, 32):
+        raise ValueError("aes: key must be 16, 24 or 32 bytes")
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[i : i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[b] for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
-    return [sum(w[r * 4 : r * 4 + 4], []) for r in range(11)]
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [sum(w[r * 4 : r * 4 + 4], []) for r in range(nr + 1)]
 
 
 def _add_round_key(s: list[int], rk: list[int]) -> None:
@@ -94,9 +104,10 @@ _INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
 
 
 def _encrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
+    nr = len(rks) - 1
     s = list(block)
     _add_round_key(s, rks[0])
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         s = [_SBOX[s[_SHIFT[i]]] for i in range(16)]
         t = [0] * 16
         for c in range(4):
@@ -108,14 +119,15 @@ def _encrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
         s = t
         _add_round_key(s, rks[rnd])
     s = [_SBOX[s[_SHIFT[i]]] for i in range(16)]
-    _add_round_key(s, rks[10])
+    _add_round_key(s, rks[nr])
     return bytes(s)
 
 
 def _decrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
+    nr = len(rks) - 1
     s = list(block)
-    _add_round_key(s, rks[10])
-    for rnd in range(9, 0, -1):
+    _add_round_key(s, rks[nr])
+    for rnd in range(nr - 1, 0, -1):
         s = [_INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16)]
         _add_round_key(s, rks[rnd])
         t = [0] * 16
@@ -131,16 +143,56 @@ def _decrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
     return bytes(s)
 
 
-def aes128_encrypt_block(block: bytes, key: bytes) -> bytes:
+def aes_encrypt_block(block: bytes, key: bytes) -> bytes:
     return _encrypt_block(block, _expand_key(key))
 
 
-def aes128_decrypt_block(block: bytes, key: bytes) -> bytes:
+def aes_decrypt_block(block: bytes, key: bytes) -> bytes:
     return _decrypt_block(block, _expand_key(key))
 
 
+# legacy names (AES-128 call sites and the FIPS-197 Appendix B tests)
+aes128_encrypt_block = aes_encrypt_block
+aes128_decrypt_block = aes_decrypt_block
+
+
+def aes_cbc_nopad_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC over already-16-byte-aligned data, no IV prefix, no
+    padding — the primitive ISO 32000-2's V5 machinery composes
+    (Algorithm 2.B's hash loop, /UE///OE file-key wrap with a zero IV)."""
+    if len(iv) != 16:
+        raise ValueError("aes: IV must be 16 bytes")
+    if len(data) % 16:
+        raise ValueError("aes: no-pad CBC needs 16-byte-aligned data")
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _encrypt_block(blk, rks)
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_nopad_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Inverse of aes_cbc_nopad_encrypt."""
+    if len(iv) != 16:
+        raise ValueError("aes: IV must be 16 bytes")
+    if len(data) % 16:
+        raise ValueError("aes: no-pad CBC needs 16-byte-aligned data")
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block(blk, rks), prev))
+        prev = blk
+    return bytes(out)
+
+
 def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """PDF AESV2 shape: returns iv + ciphertext over PKCS#5-padded data."""
+    """PDF AESV2/AESV3 shape: returns iv + ciphertext over PKCS#5-padded
+    data.  Key may be 16 (AESV2) or 32 (AESV3) bytes."""
     if len(iv) != 16:
         raise ValueError("aes: IV must be 16 bytes")
     rks = _expand_key(key)

@@ -136,14 +136,24 @@ def _encrypted_roundtrip_batches(
             half = len(t) // 2
             blob = build_pdf(
                 [t[:half], t[half:]],
-                # all three handler flavors — RC4 R2, RC4 R3, and V4/R4
-                # AES-128 crypt filters (round-5 verdict ask #3); layouts
-                # alternate so decryption composes with xref streams,
-                # ObjStm packing (the whole packed payload is one
-                # encrypted stream), and — every 7th id — the
-                # damaged-xref scan recovery
-                encrypt={0: "rc4-40", 1: "rc4-128", 2: "aes-128"}[doc_id % 3],
+                # all five handler flavors — RC4 R2, RC4 R3, V4/R4
+                # AES-128 crypt filters, V5/R6 AES-256 (ISO 32000-2
+                # Algorithm 2.B hash + /UE key unwrap + /Perms check)
+                # and the deprecated Acrobat-9 V5/R5; layouts alternate
+                # so decryption composes with xref streams, ObjStm
+                # packing (the whole packed payload is one encrypted
+                # stream), and — every 7th id — the damaged-xref scan
+                # recovery
+                encrypt={
+                    0: "rc4-40",
+                    1: "rc4-128",
+                    2: "aes-128",
+                    3: "aes-256",
+                    4: "aes-256-r5",
+                }[doc_id % 5],
                 xref_stream=doc_id % 3 == 0,
+                # % 6 keeps ObjStm inside xref_stream ids AND cycles it
+                # across all five ciphers (6 mod 5 walks 1,2,3,4,0)
                 use_objstm=doc_id % 6 == 0,
             )
             if doc_id % 7 == 3:
@@ -161,10 +171,11 @@ def extract_pdf_encrypted_roundtrip(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """Like extract_pdf_roundtrip, but every document is ENCRYPTED with
-    the standard security handler (doc_id%3 cycles RC4 V1/R2 40-bit,
-    RC4 V2/R3 128-bit, and V4/R4 AES-128 /AESV2 crypt filters) with
-    empty passwords — the parser must verify /U, derive the file key,
-    walk /CF for V4, and decrypt every stream before any filter runs."""
+    the standard security handler (doc_id%5 cycles RC4 V1/R2 40-bit,
+    RC4 V2/R3 128-bit, V4/R4 AES-128 /AESV2, V5/R6 AES-256 /AESV3 and
+    V5/R5 AES-256) with empty passwords — the parser must verify /U,
+    derive (V5: unwrap from /UE) the file key, walk /CF for V4/V5, and
+    decrypt every stream before any filter runs."""
     src = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).cast("string").alias("text"),

@@ -60,22 +60,31 @@ import re
 import struct
 import zlib
 
+from functools import lru_cache
+
 from pdf_extraction_spark.crypto_aes import (
     aes128_cbc_decrypt,
     aes128_cbc_encrypt,
+    aes_cbc_nopad_decrypt,
+    aes_cbc_nopad_encrypt,
+    aes_decrypt_block,
+    aes_encrypt_block,
 )
 
 # ---------------------------------------------------------------------------
 # standard security handler (encrypted PDFs): RC4 revisions 2/3 (the
-# 40/128-bit legacy encryption) AND V4/R4 crypt filters — /CF /StdCF
+# 40/128-bit legacy encryption), V4/R4 crypt filters — /CF /StdCF
 # with /CFM /V2 (RC4) or /AESV2 (AES-128-CBC, pure-Python FIPS-197
-# implementation in crypto_aes.py) — which mid-2000s web PDFs carry.
-# The empty-user-password case (open-for-anyone, permissions-only) is
-# the one a crawl actually hits; non-empty passwords raise.  V5+/AES-256
-# is out of scope and raises (contained per document by the kernel's
-# guard).  Strings are not separately decrypted: in this engine's
-# subset all text lives in (encrypted) content STREAMS, and the O/U
-# entries of the encryption dictionary itself are exempt by spec.
+# implementation in crypto_aes.py) — which mid-2000s web PDFs carry,
+# AND V5 AES-256 (/CFM /AESV3): both the deprecated Acrobat-9 R5
+# (plain SHA-256 password hash) and the ISO 32000-2 R6 (Algorithm 2.B
+# iterated SHA-256/384/512 hash) revisions, with the /UE file-key
+# unwrap and the /Perms integrity check.  The empty-user-password case
+# (open-for-anyone, permissions-only) is the one a crawl actually
+# hits; non-empty passwords raise.  Strings are not separately
+# decrypted: in this engine's subset all text lives in (encrypted)
+# content STREAMS, and the O/U entries of the encryption dictionary
+# itself are exempt by spec.
 # ---------------------------------------------------------------------------
 
 _PDF_PAD = bytes(
@@ -172,6 +181,38 @@ def _std_object_key(
     if aes:
         md.update(b"sAlT")
     return md.digest()[: min(len(file_key) + 5, 16)]
+
+
+def _hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B: the R6 password hash.  Starts from
+    SHA-256(password + salt + udata), then iterates: K1 = (password +
+    K + udata) * 64, E = AES-128-CBC-nopad(K[:16], iv=K[16:32], K1),
+    next digest picked by sum(E[:16]) % 3 among SHA-256/384/512; stops
+    after >= 64 rounds once E's last byte <= rounds_done - 32."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    digests = (hashlib.sha256, hashlib.sha384, hashlib.sha512)
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_nopad_encrypt(k[:16], k[16:32], k1)
+        k = digests[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+@lru_cache(maxsize=64)
+def _hash_v5(password: bytes, salt: bytes, rev: int, udata: bytes = b"") -> bytes:
+    """The V5 password hash: plain SHA-256 for the deprecated Acrobat-9
+    R5, Algorithm 2.B for R6.  Cached: the 2.B loop costs tens of
+    thousands of pure-Python AES blocks, and a corpus written with
+    shared salts (as build_pdf deliberately does) re-derives the same
+    hash for every document — one evaluation per executor process
+    instead of per doc.  Files with per-document salts still parse,
+    they just pay the loop each time (bounded by maxsize)."""
+    if rev == 5:
+        return hashlib.sha256(password + salt + udata).digest()
+    return _hash_r6(password, salt, udata)
 
 
 # ---------------------------------------------------------------------------
@@ -492,9 +533,12 @@ def build_pdf(
       << /Predictor 12 /Columns 7 >>``) to the xref stream rows before
       deflate — the layout Acrobat and most writers actually emit;
       requires ``xref_stream``.
-    * ``encrypt``: ``"rc4-40"`` (V1/R2), ``"rc4-128"`` (V2/R3) or
-      ``"aes-128"`` (V4/R4 with an /AESV2 /StdCF crypt filter) applies
-      the standard security handler with EMPTY owner/user passwords —
+    * ``encrypt``: ``"rc4-40"`` (V1/R2), ``"rc4-128"`` (V2/R3),
+      ``"aes-128"`` (V4/R4 with an /AESV2 /StdCF crypt filter),
+      ``"aes-256"`` (V5/R6 /AESV3: ISO 32000-2 Algorithm 2.B hash,
+      /UE-wrapped file key, /Perms integrity block) or ``"aes-256-r5"``
+      (the deprecated Acrobat-9 V5/R5 with the plain SHA-256 hash)
+      applies the standard security handler with EMPTY passwords —
       the open-for-anyone permissions-only encryption legacy web PDFs
       carry: every stream is encrypted with its per-object key (AESV2:
       deterministic per-object IV + CBC + PKCS#5 padding, so /Length
@@ -537,6 +581,7 @@ def build_pdf(
     enc_v = enc_rev = enc_klen = 0
     enc_cfm = None
     file_key = o_entry = u_entry = id0 = b""
+    ue_entry = oe_entry = perms_blob = b""
     enc_perms = -44  # print+copy allowed, modify denied — a typical mask
     if encrypt:
         if encrypt == "rc4-40":
@@ -545,21 +590,62 @@ def build_pdf(
             enc_v, enc_rev, enc_klen = 2, 3, 16
         elif encrypt == "aes-128":
             enc_v, enc_rev, enc_klen, enc_cfm = 4, 4, 16, "AESV2"
+        elif encrypt in ("aes-256", "aes-256-r5"):
+            enc_v, enc_klen, enc_cfm = 5, 32, "AESV3"
+            enc_rev = 5 if encrypt == "aes-256-r5" else 6
         else:
             raise ValueError(
-                "encrypt must be 'rc4-40', 'rc4-128' or 'aes-128'"
+                "encrypt must be 'rc4-40', 'rc4-128', 'aes-128',"
+                " 'aes-256' or 'aes-256-r5'"
             )
         id0 = hashlib.md5(
             b"synthetic-pdf-id\x00"
             + "\x00".join(pages).encode("utf-8", "surrogatepass")
         ).digest()
-        o_entry = _std_owner_entry(b"", b"", enc_rev, enc_klen)
-        file_key = _std_file_key(b"", o_entry, enc_perms, id0, enc_rev, enc_klen)
-        u_entry = _std_user_entry(file_key, id0, enc_rev)
+        if enc_v == 5:
+            # The file key is random-per-file by spec; here it is
+            # deterministic from the content hash so fixtures are
+            # reproducible.  The four salts are deliberately SHARED
+            # across documents (spec-legal: salts must be unpredictable
+            # to an attacker, not unique per file) so the parser's
+            # _hash_v5 cache pays the Algorithm 2.B loop once per
+            # executor process instead of once per document.
+            file_key = hashlib.sha256(b"aesv3-file-key" + id0).digest()
+            uvs, uks = b"uValSalt", b"uKeySalt"
+            ovs, oks = b"oValSalt", b"oKeySalt"
+            u_entry = _hash_v5(b"", uvs, enc_rev) + uvs + uks
+            ue_entry = aes_cbc_nopad_encrypt(
+                _hash_v5(b"", uks, enc_rev), b"\x00" * 16, file_key
+            )
+            # the owner hashes take the 48-byte /U as trailing udata
+            o_entry = _hash_v5(b"", ovs, enc_rev, u_entry) + ovs + oks
+            oe_entry = aes_cbc_nopad_encrypt(
+                _hash_v5(b"", oks, enc_rev, u_entry), b"\x00" * 16, file_key
+            )
+            # /Perms: P as 32-bit LE, 0xFFFFFFFF, 'T' (metadata
+            # encrypted), 'adb', 4 arbitrary bytes — AES-256-ECB under
+            # the file key (Algorithm 10)
+            perms_blob = aes_encrypt_block(
+                struct.pack("<i", enc_perms)
+                + b"\xff\xff\xff\xffTadb"
+                + id0[:4],
+                file_key,
+            )
+        else:
+            o_entry = _std_owner_entry(b"", b"", enc_rev, enc_klen)
+            file_key = _std_file_key(
+                b"", o_entry, enc_perms, id0, enc_rev, enc_klen
+            )
+            u_entry = _std_user_entry(file_key, id0, enc_rev)
 
     def _protect(num: int, data: bytes) -> bytes:
         if not encrypt:
             return data
+        if enc_cfm == "AESV3":
+            # V5 uses the FILE key directly for every object (no
+            # per-object MD5 salting — dropped by ISO 32000-2)
+            iv = hashlib.md5(b"aes-iv" + id0 + str(num).encode("ascii")).digest()
+            return aes128_cbc_encrypt(file_key, iv, data)
         if enc_cfm == "AESV2":
             iv = hashlib.md5(b"aes-iv" + id0 + str(num).encode("ascii")).digest()
             return aes128_cbc_encrypt(
@@ -752,10 +838,16 @@ def build_pdf(
                 f" /CF << /StdCF << /CFM /{enc_cfm} /Length {enc_klen} >> >>"
                 f" /StmF /StdCF /StrF /StdCF"
             )
+        extra5 = ""
+        if enc_v == 5:
+            extra5 = (
+                f" /UE <{ue_entry.hex()}> /OE <{oe_entry.hex()}>"
+                f" /Perms <{perms_blob.hex()}>"
+            )
         objects[enc_id] = (
             f"<< /Filter /Standard /V {enc_v} /R {enc_rev}"
             f" /Length {enc_klen * 8} /P {enc_perms}"
-            f" /O <{o_entry.hex()}> /U <{u_entry.hex()}>{cf} >>"
+            f" /O <{o_entry.hex()}> /U <{u_entry.hex()}>{extra5}{cf} >>"
         ).encode("ascii")
         idhex = id0.hex()
         enc_extra = (
@@ -1398,16 +1490,22 @@ class _Document:
             raise ValueError("pdf parse: unsupported encryption handler")
         v = int(self.resolve(enc.get("V", 0)))
         rev = int(self.resolve(enc.get("R", 0)))
-        if not (v in (1, 2) and rev in (2, 3)) and not (v == 4 and rev == 4):
+        if (
+            not (v in (1, 2) and rev in (2, 3))
+            and not (v == 4 and rev == 4)
+            and not (v == 5 and rev in (5, 6))
+        ):
             raise ValueError("pdf parse: unsupported encryption version")
         if v == 1:
             klen = 5
+        elif v == 5:
+            klen = 32
         else:
             klen = int(self.resolve(enc.get("Length", 40 if v == 2 else 128))) // 8
-        if not 5 <= klen <= 16:
+        if v != 5 and not 5 <= klen <= 16:
             raise ValueError("pdf parse: bad key length")
         cfm = "rc4"
-        if v == 4:
+        if v in (4, 5):
             # crypt-filter dictionary walk (§7.6.5): the stream filter
             # named by /StmF resolves through /CF to its /CFM method
             stmf = str(enc.get("StmF", "Identity"))
@@ -1422,7 +1520,7 @@ class _Document:
                     str(cfdict.get("CFM", "")) if isinstance(cfdict, dict)
                     else ""
                 )
-                if method == "AESV2":
+                if method == "AESV2" and v == 4:
                     cfm = "aesv2"
                     cf_len = cfdict.get("Length")
                     if cf_len is not None:
@@ -1430,13 +1528,15 @@ class _Document:
                         # accept both spellings of 128-bit)
                         cl = int(self.resolve(cf_len))
                         klen = cl // 8 if cl >= 40 else cl
-                elif method == "V2":
+                elif method == "AESV3" and v == 5:
+                    cfm = "aesv3"
+                elif method == "V2" and v == 4:
                     cfm = "rc4"
                 else:
                     raise ValueError(
                         f"pdf parse: unsupported crypt filter {method!r}"
                     )
-            if not 5 <= klen <= 16:
+            if v == 4 and not 5 <= klen <= 16:
                 raise ValueError("pdf parse: bad key length")
             if self.resolve(enc.get("EncryptMetadata")) is False:
                 self._enc_meta_false = True
@@ -1444,6 +1544,35 @@ class _Document:
         u_entry = enc.get("U")
         if not isinstance(o_entry, bytes) or not isinstance(u_entry, bytes):
             raise ValueError("pdf parse: bad O/U entries")
+        if v == 5:
+            # ISO 32000-2 V5: verify the empty USER password against
+            # /U = hash(32) + validation-salt(8) + key-salt(8), then
+            # unwrap the 256-bit file key from /UE (Algorithms 2.A/11/8)
+            if len(u_entry) < 48:
+                raise ValueError("pdf parse: bad /U length for V5")
+            vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+            if _hash_v5(b"", vsalt, rev) != u_entry[:32]:
+                raise ValueError("pdf parse: password required")
+            ue = enc.get("UE")
+            if not isinstance(ue, bytes) or len(ue) < 32:
+                raise ValueError("pdf parse: bad /UE entry")
+            key = aes_cbc_nopad_decrypt(
+                _hash_v5(b"", ksalt, rev), b"\x00" * 16, ue[:32]
+            )
+            pblob = self.resolve(enc.get("Perms"))
+            if rev == 6:
+                # Algorithm 13: /Perms decrypts under the file key to
+                # ... 'adb' at bytes 9-11 — a wrong key (forged /UE)
+                # fails here rather than producing garbage pages
+                if not isinstance(pblob, bytes) or len(pblob) < 16:
+                    raise ValueError("pdf parse: missing /Perms")
+                if aes_decrypt_block(pblob[:16], key)[9:12] != b"adb":
+                    raise ValueError(
+                        "pdf parse: /Perms integrity check failed"
+                    )
+            self._enc_key = key
+            self._enc_cfm = cfm
+            return
         perms = int(self.resolve(enc.get("P", -1)))
         ids = self.trailer.get("ID")
         id0 = (
@@ -1725,7 +1854,11 @@ class _Document:
             # decrypt BEFORE filters; cross-reference streams are never
             # encrypted (the spec exempts them — they must be readable
             # to find the /Encrypt dictionary in the first place)
-            if self._enc_cfm == "aesv2":
+            if self._enc_cfm == "aesv3":
+                # V5: the file key is used directly (ISO 32000-2
+                # dropped the per-object MD5 salting of Algorithm 1)
+                raw = aes128_cbc_decrypt(self._enc_key, raw)
+            elif self._enc_cfm == "aesv2":
                 raw = aes128_cbc_decrypt(
                     _std_object_key(self._enc_key, num, aes=True), raw
                 )

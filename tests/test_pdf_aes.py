@@ -1,6 +1,7 @@
 """AES-V4 encrypted PDFs (round-5 verdict ask #3): pure-Python AES-128
 pinned to FIPS-197 test vectors, the /CF crypt-filter dictionary walk,
-and wrong-key / unsupported-V5 rejection."""
+and wrong-key / malformed-dictionary rejection.  V5/AES-256 coverage
+lives in tests/test_pdf_aes256.py."""
 
 from __future__ import annotations
 
@@ -96,10 +97,13 @@ def test_wrong_key_rejected():
         extract_pdf_pages(bytes(tampered))
 
 
-def test_v5_rejected():
+def test_v5_with_v4_crypt_filter_rejected():
+    """V5 is supported (test_pdf_aes256.py) but a V5 dict whose /StdCF
+    still names the V4-only /AESV2 method is malformed and rejected at
+    the CF walk."""
     blob = build_pdf(["future"], encrypt="aes-128")
     tampered = blob.replace(b"/V 4 /R 4", b"/V 5 /R 6")
-    with pytest.raises(ValueError, match="unsupported encryption version"):
+    with pytest.raises(ValueError, match="unsupported crypt filter"):
         extract_pdf_pages(tampered)
 
 

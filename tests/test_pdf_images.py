@@ -29,6 +29,7 @@ def _jpeg():
         {"compress": False},
         {"encrypt": "rc4-128"},
         {"encrypt": "aes-128"},
+        {"encrypt": "aes-256"},
         {"font": "winansi"},
         {"indirect_length": True},
     ],
