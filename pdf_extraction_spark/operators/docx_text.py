@@ -37,6 +37,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from pdf_extraction_spark.operators.balance import rebalance_if_undersplit
+
 _W_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
 
 _CONTENT_TYPES = (
@@ -205,4 +207,4 @@ def extract_docx_roundtrip(df: DataFrame, id_col: str, text_col: str) -> DataFra
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).cast("string").alias("text"),
     )
-    return src.mapInPandas(_docx_batches, schema=DOCX_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_docx_batches, schema=DOCX_SCHEMA)

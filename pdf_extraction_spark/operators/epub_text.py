@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from pdf_extraction_spark.operators.docx_text import _esc, sanitize_for_xml
 
+from pdf_extraction_spark.operators.balance import rebalance_if_undersplit
+
 _CONTAINER = (
     '<?xml version="1.0"?>'
     '<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
@@ -209,4 +211,4 @@ def extract_epub_roundtrip(df: DataFrame, id_col: str, text_col: str) -> DataFra
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).cast("string").alias("text"),
     )
-    return src.mapInPandas(_epub_batches, schema=EPUB_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_epub_batches, schema=EPUB_SCHEMA)

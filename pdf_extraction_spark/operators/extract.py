@@ -26,6 +26,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from pdf_extraction_spark.operators.balance import rebalance_if_undersplit
+
 FIELD_PAIR = StructType(
     [StructField("field", StringType()), StructField("value", StringType())]
 )
@@ -110,7 +112,7 @@ def extract_documents(pages: DataFrame, max_doc_chars: int | None = None) -> Dat
     import functools
 
     fn = functools.partial(_extract_batches, max_doc_chars=max_doc_chars)
-    return pages.select("url", "html", "text").mapInPandas(
+    return rebalance_if_undersplit(pages.select("url", "html", "text")).mapInPandas(
         fn, schema=EXTRACT_SCHEMA
     )
 
@@ -154,7 +156,7 @@ def extract_fields_long(df: DataFrame, id_col, text_col) -> DataFrame:
     src = df.select(
         F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
     )
-    return src.mapInPandas(_kv_long_batches, schema=KV_LONG_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_kv_long_batches, schema=KV_LONG_SCHEMA)
 
 
 def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 0) -> DataFrame:

@@ -32,6 +32,8 @@ from pdf_extraction_spark.operators.multimodal import (
 )
 
 
+from pdf_extraction_spark.operators.balance import rebalance_if_undersplit
+
 def _ico_dib_dims(media_id: int) -> tuple[int, int]:
     return media_id % 5 + 4, media_id % 4 + 4
 
@@ -168,7 +170,7 @@ def _ico_synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 def synth_ico(df: DataFrame, id_col: str) -> DataFrame:
     """(media_id, blob) with a real two-entry favicon per id."""
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
-    return src.mapInPandas(_ico_synth_batches, schema="media_id long, blob binary")
+    return rebalance_if_undersplit(src).mapInPandas(_ico_synth_batches, schema="media_id long, blob binary")
 
 
 def _ico_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -208,4 +210,4 @@ def decode_ico(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     src = df.select(
         F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
     )
-    return src.mapInPandas(_ico_decode_batches, schema=ICO_DECODE_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_ico_decode_batches, schema=ICO_DECODE_SCHEMA)

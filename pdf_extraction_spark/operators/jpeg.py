@@ -55,6 +55,8 @@ from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 # with c(0) = 1/sqrt(2).  M is orthogonal, so FDCT = M s M^T, IDCT = M^T S M.
 # ---------------------------------------------------------------------------
 
+from pdf_extraction_spark.operators.balance import rebalance_if_undersplit
+
 _DCT_M = np.zeros((8, 8))
 for _u in range(8):
     _c = (0.5 ** 0.5) if _u == 0 else 1.0
@@ -1389,7 +1391,7 @@ def probe_jpeg(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     src = df.select(
         F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
     )
-    return src.mapInPandas(_jpeg_meta_batches, schema=JPEG_META_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_jpeg_meta_batches, schema=JPEG_META_SCHEMA)
 
 
 JPEG_DECODE_SCHEMA = StructType(
@@ -1423,7 +1425,7 @@ def synth_jpeg(df: DataFrame, id_col: str) -> DataFrame:
     """(media_id, blob) with a real baseline JPEG per id (Arrow-batched
     mapInPandas, same shape as synth_png/synth_gif)."""
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
-    return src.mapInPandas(_jpeg_synth_batches, schema="media_id long, blob binary")
+    return rebalance_if_undersplit(src).mapInPandas(_jpeg_synth_batches, schema="media_id long, blob binary")
 
 
 def _jpeg_prog_synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1439,7 +1441,7 @@ def _jpeg_prog_synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
 def synth_jpeg_progressive(df: DataFrame, id_col: str) -> DataFrame:
     """(media_id, blob) with a real progressive (SOF2) JPEG per id."""
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
-    return src.mapInPandas(_jpeg_prog_synth_batches, schema="media_id long, blob binary")
+    return rebalance_if_undersplit(src).mapInPandas(_jpeg_prog_synth_batches, schema="media_id long, blob binary")
 
 
 def synth_jpeg_mixed_bytes(media_id: int) -> bytes:
@@ -1472,7 +1474,7 @@ def synth_jpeg_mixed(df: DataFrame, id_col: str) -> DataFrame:
     """(media_id, blob): baseline JPEG for even ids, progressive for odd
     — so a downstream probe/decode must classify the frame type itself."""
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
-    return src.mapInPandas(_jpeg_mixed_synth_batches, schema="media_id long, blob binary")
+    return rebalance_if_undersplit(src).mapInPandas(_jpeg_mixed_synth_batches, schema="media_id long, blob binary")
 
 
 def _jpeg_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1511,4 +1513,4 @@ def decode_jpeg(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     src = df.select(
         F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
     )
-    return src.mapInPandas(_jpeg_decode_batches, schema=JPEG_DECODE_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_jpeg_decode_batches, schema=JPEG_DECODE_SCHEMA)

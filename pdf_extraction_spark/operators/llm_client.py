@@ -42,6 +42,8 @@ from pyspark.sql import functions as F
 from pdf_extraction_spark.operators.llm_stub import LLM_SCHEMA
 
 
+from pdf_extraction_spark.operators.balance import rebalance_if_undersplit
+
 class TransportError(Exception):
     """A request that never produced an HTTP response (DNS, connect,
     timeout, reset) — always retryable."""
@@ -197,4 +199,4 @@ def enrich_llm_http(
     src = df.select(
         F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
     )
-    return src.mapInPandas(fn, schema=LLM_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(fn, schema=LLM_SCHEMA)

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
+from pdf_extraction_spark.operators.balance import rebalance_if_undersplit
+
 LLM_SCHEMA = StructType(
     [
         StructField("doc_id", StringType()),
@@ -96,4 +98,4 @@ def enrich_llm(
     src = df.select(
         F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
     )
-    return src.mapInPandas(_llm_batches(task, max_input_chars), schema=LLM_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_llm_batches(task, max_input_chars), schema=LLM_SCHEMA)

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 # MPEG-1 Layer III tables (index 0 = free format, 15 = invalid)
+from pdf_extraction_spark.operators.balance import rebalance_if_undersplit
+
 _BITRATE_KBPS = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0]
 _SAMPLE_RATE = [44100, 48000, 32000, 0]
 _SAMPLES_PER_FRAME = 1152
@@ -162,7 +164,7 @@ def _mp3_synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 def synth_mp3(df: DataFrame, id_col: str) -> DataFrame:
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
-    return src.mapInPandas(_mp3_synth_batches, schema="media_id long, blob binary")
+    return rebalance_if_undersplit(src).mapInPandas(_mp3_synth_batches, schema="media_id long, blob binary")
 
 
 def _mp3_probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -195,4 +197,4 @@ def probe_mp3_df(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     src = df.select(
         F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
     )
-    return src.mapInPandas(_mp3_probe_batches, schema=MP3_META_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_mp3_probe_batches, schema=MP3_META_SCHEMA)

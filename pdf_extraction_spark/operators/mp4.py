@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
 
 
+from pdf_extraction_spark.operators.balance import rebalance_if_undersplit
+
 def _box(btype: bytes, payload: bytes, large: bool = False) -> bytes:
     if large:
         return struct.pack(">I", 1) + btype + struct.pack(">Q", 16 + len(payload)) + payload
@@ -164,7 +166,7 @@ def _mp4_synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 def synth_mp4(df: DataFrame, id_col: str) -> DataFrame:
     """(media_id, blob) with a real ISO-BMFF shell per id."""
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
-    return src.mapInPandas(_mp4_synth_batches, schema="media_id long, blob binary")
+    return rebalance_if_undersplit(src).mapInPandas(_mp4_synth_batches, schema="media_id long, blob binary")
 
 
 def _mp4_probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -194,4 +196,4 @@ def probe_mp4_df(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     src = df.select(
         F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
     )
-    return src.mapInPandas(_mp4_probe_batches, schema=MP4_META_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_mp4_probe_batches, schema=MP4_META_SCHEMA)

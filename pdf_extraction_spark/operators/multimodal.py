@@ -42,6 +42,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from pdf_extraction_spark.operators.balance import rebalance_if_undersplit
+
 MAGIC_HEX = "494d4731"  # b"IMG1"
 HEADER_LEN = 9
 
@@ -153,7 +155,7 @@ def byte_features(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     src = df.select(
         F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
     )
-    return src.mapInPandas(_byte_feature_batches, schema=BYTE_FEATURES_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_byte_feature_batches, schema=BYTE_FEATURES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -208,7 +210,7 @@ def frame_sample(
     src = df.select(
         F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
     )
-    return src.mapInPandas(
+    return rebalance_if_undersplit(src).mapInPandas(
         _frame_sample_batches(frame_size, stride), schema=FRAME_SCHEMA
     )
 
@@ -275,7 +277,7 @@ def decode_image(
     src = df.select(
         F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
     )
-    return src.mapInPandas(_decode_batches(fake), schema=DECODE_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_decode_batches(fake), schema=DECODE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -426,7 +428,7 @@ def decode_bmp(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     src = df.select(
         F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
     )
-    return src.mapInPandas(_bmp_decode_batches, schema=BMP_DECODE_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_bmp_decode_batches, schema=BMP_DECODE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -543,7 +545,7 @@ def decode_wav(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     src = df.select(
         F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
     )
-    return src.mapInPandas(_wav_decode_batches, schema=WAV_DECODE_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_wav_decode_batches, schema=WAV_DECODE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -709,7 +711,7 @@ def _png_interlaced_synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[p
 def synth_png_interlaced(df: DataFrame, id_col: str) -> DataFrame:
     """(media_id, blob) with a real Adam7-interlaced PNG per id."""
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
-    return src.mapInPandas(
+    return rebalance_if_undersplit(src).mapInPandas(
         _png_interlaced_synth_batches, schema="media_id long, blob binary"
     )
 
@@ -873,7 +875,7 @@ def synth_png(df: DataFrame, id_col: str) -> DataFrame:
     cannot be pure JVM expressions (zlib compression), so it runs in the
     same Arrow-batched mapInPandas shape as the decoders."""
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
-    return src.mapInPandas(
+    return rebalance_if_undersplit(src).mapInPandas(
         _png_synth_batches, schema="media_id long, blob binary"
     )
 
@@ -919,7 +921,7 @@ def decode_png(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     src = df.select(
         F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
     )
-    return src.mapInPandas(_png_decode_batches, schema=PNG_DECODE_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_png_decode_batches, schema=PNG_DECODE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1349,7 +1351,7 @@ def _gif_synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 def synth_gif(df: DataFrame, id_col: str) -> DataFrame:
     """(media_id, blob) with a real GIF89a per id, Arrow-batched."""
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
-    return src.mapInPandas(
+    return rebalance_if_undersplit(src).mapInPandas(
         _gif_synth_batches, schema="media_id long, blob binary"
     )
 
@@ -1392,7 +1394,7 @@ def decode_gif(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     src = df.select(
         F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
     )
-    return src.mapInPandas(_gif_decode_batches, schema=GIF_DECODE_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_gif_decode_batches, schema=GIF_DECODE_SCHEMA)
 
 
 GIF_ANIM_SCHEMA = StructType(
@@ -1426,7 +1428,7 @@ def _gif_anim_synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
 def synth_gif_animated(df: DataFrame, id_col: str) -> DataFrame:
     """(media_id, blob) with a real animated GIF89a per id."""
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
-    return src.mapInPandas(
+    return rebalance_if_undersplit(src).mapInPandas(
         _gif_anim_synth_batches, schema="media_id long, blob binary"
     )
 
@@ -1477,4 +1479,4 @@ def decode_gif_animated(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     src = df.select(
         F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
     )
-    return src.mapInPandas(_gif_anim_decode_batches, schema=GIF_ANIM_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_gif_anim_decode_batches, schema=GIF_ANIM_SCHEMA)

@@ -46,6 +46,8 @@ from pdf_extraction_spark.pdf_parse import build_pdf, extract_pdf_images
 
 # Printable ASCII; everything else sanitizes to '?' (mirrored by the
 # DuckDB oracle's regexp_replace('[^ -~]', '?', 'g')).
+from pdf_extraction_spark.operators.balance import rebalance_if_undersplit
+
 CHARSET = [chr(c) for c in range(0x20, 0x7F)]
 GLYPH = 8  # glyph cell is 8x8 pixels — one JPEG block per cell
 COLS, ROWS = 16, 8  # one 128x64 page
@@ -158,7 +160,7 @@ def ocr_roundtrip(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     src = df.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
     )
-    return src.mapInPandas(_ocr_batches, schema=OCR_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_ocr_batches, schema=OCR_SCHEMA)
 
 
 SCANNED_SCHEMA = StructType(
@@ -228,4 +230,4 @@ def scanned_pdf_extract(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     src = df.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
     )
-    return src.mapInPandas(_scanned_batches, schema=SCANNED_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_scanned_batches, schema=SCANNED_SCHEMA)

@@ -46,6 +46,8 @@ from pyspark.sql import functions as F
 
 from pdf_extraction_spark.pdf_parse import build_pdf, extract_pdf_pages
 
+from pdf_extraction_spark.operators.balance import rebalance_if_undersplit
+
 PDF_ROUNDTRIP_SCHEMA = (
     "doc_id long, n_pages int, page1_chars int, n_chars int, "
     "extracted_text string"
@@ -116,7 +118,7 @@ def extract_pdf_roundtrip(df: DataFrame, id_col: str, text_col: str) -> DataFram
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).cast("string").alias("text"),
     )
-    return src.mapInPandas(_roundtrip_batches, schema=PDF_ROUNDTRIP_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_roundtrip_batches, schema=PDF_ROUNDTRIP_SCHEMA)
 
 
 def _encrypted_roundtrip_batches(
@@ -180,4 +182,4 @@ def extract_pdf_encrypted_roundtrip(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).cast("string").alias("text"),
     )
-    return src.mapInPandas(_encrypted_roundtrip_batches, schema=PDF_ROUNDTRIP_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_encrypted_roundtrip_batches, schema=PDF_ROUNDTRIP_SCHEMA)

@@ -33,6 +33,8 @@ from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 from pdf_extraction_spark.pdf_parse import _pdf_lzw_decode, _pdf_lzw_encode
 
 # the IFD tags baseline RGB needs
+from pdf_extraction_spark.operators.balance import rebalance_if_undersplit
+
 _T_WIDTH, _T_HEIGHT, _T_BPS, _T_COMPRESSION = 256, 257, 258, 259
 _T_PHOTOMETRIC, _T_STRIP_OFFSETS, _T_SPP = 262, 273, 277
 _T_ROWS_PER_STRIP, _T_STRIP_COUNTS, _T_PREDICTOR = 278, 279, 317
@@ -331,7 +333,7 @@ def _tiff_synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 def synth_tiff(df: DataFrame, id_col: str) -> DataFrame:
     """(media_id, blob) with a real baseline RGB TIFF per id."""
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
-    return src.mapInPandas(_tiff_synth_batches, schema="media_id long, blob binary")
+    return rebalance_if_undersplit(src).mapInPandas(_tiff_synth_batches, schema="media_id long, blob binary")
 
 
 def _tiff_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -371,4 +373,4 @@ def decode_tiff(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     src = df.select(
         F.col(id_col).cast("long").alias("media_id"), F.col(blob_col).alias("blob")
     )
-    return src.mapInPandas(_tiff_decode_batches, schema=TIFF_DECODE_SCHEMA)
+    return rebalance_if_undersplit(src).mapInPandas(_tiff_decode_batches, schema=TIFF_DECODE_SCHEMA)
