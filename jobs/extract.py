@@ -33,14 +33,17 @@ def main(argv=None) -> int:
                         "uncommitted groups in one pass; lower it to add "
                         "commit barriers on very long jobs)")
     p.add_argument("--cpus", type=int, default=None, help="local[N] cores")
-    p.add_argument("--format", choices=["parquet", "jsonl", "warc", "zip"],
+    p.add_argument("--format", choices=["parquet", "jsonl", "warc", "zip", "tar"],
                    default="parquet",
                    help="input format (jsonl carries html as base64; warc "
                         "reads Common-Crawl .warc/.warc.gz archives; large "
                         "uncompressed .warc files split into byte-range "
                         "tasks — see sources/warc.py; zip reads members of "
                         ".zip corpora with per-member parallelism via the "
-                        "central directory — see sources/zipsource.py)")
+                        "central directory — see sources/zipsource.py; tar "
+                        "reads WebDataset-style tarballs with byte-range "
+                        "splits on chain-verified 512-block boundaries — "
+                        "see sources/tarsource.py)")
     args = p.parse_args(argv)
 
     from pdf_extraction_spark.session import get_spark

@@ -193,6 +193,10 @@ def run_extraction(
         from pdf_extraction_spark.sources.zipsource import read_pages_zip
 
         pages = read_pages_zip(spark, pages_path)
+    elif input_format == "tar":
+        from pdf_extraction_spark.sources.tarsource import read_pages_tar
+
+        pages = read_pages_tar(spark, pages_path)
     elif input_format == "jsonl":
         pages = read_pages_jsonl(spark, pages_path)
     else:
@@ -231,7 +235,7 @@ def run_extraction(
         # its own source_file column must not hijack lineage
         file_expr = (
             F.col("source_file")
-            if input_format in ("warc", "zip")
+            if input_format in ("warc", "zip", "tar")
             else F.input_file_name()
         )
         # per-file totals first: its row count IS the file count (no
