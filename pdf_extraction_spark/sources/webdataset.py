@@ -1,0 +1,135 @@
+"""WebDataset-style sample reader over tar shards.
+
+WebDataset (the de-facto sharded-tar layout for multimodal training
+data) stores each SAMPLE as a run of adjacent tar members sharing a key:
+``train/00042.jpg`` + ``train/00042.cls`` + ``train/00042.json`` is one
+sample with parts {jpg, cls, json}.  The key is the member path up to
+the FIRST dot after the last slash, so multi-suffix parts
+(``sample.seg.png``) keep their full extension (``seg.png``).
+
+Scale design: the SHARD is the parallelism unit — that is WebDataset's
+own contract (shards are written at ~100 MB–1 GiB precisely so a fleet
+parallelizes over them), so this reader maps one task per shard and
+streams members sequentially, grouping adjacent runs by key.  No
+shuffle: sample assembly is a per-task linear pass, and a 100 TB corpus
+is just more shards.  For a monolithic non-WebDataset tarball, use
+``read_docs_tar`` byte-range splits instead and group downstream.
+
+Integrity: adjacency is load-bearing (it is what makes grouping
+shuffle-free), so a key that REAPPEARS non-adjacently in a shard raises
+— that shard was mis-written and silently merging or dropping parts
+would corrupt training samples.  Raising at the source matches the ZIP
+source's posture; per-document containment belongs to the pipeline
+layer (F18), not the source.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pdf_extraction_spark.sources.tarsource import (
+    _BlockReader,
+    _iter_tar_records,
+)
+from pdf_extraction_spark.sources.warc import _open_binary
+
+WDS_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("archive", StringType()),
+        StructField("key", StringType()),
+        StructField("parts", MapType(StringType(), BinaryType())),
+    ]
+)
+
+
+def split_wds_key(name: str) -> tuple[str, str]:
+    """(key, ext) per the WebDataset rule: split at the first dot after
+    the last slash; a dotless member is all key, empty ext."""
+    slash = name.rfind("/")
+    dot = name.find(".", slash + 1)
+    if dot < 0:
+        return name, ""
+    return name[:dot], name[dot + 1 :]
+
+
+def iter_wds_samples(
+    records: Iterator[tuple[str, bytes]], archive: str
+) -> Iterator[tuple[str, dict[str, bytes]]]:
+    """Group an ordered member stream into (key, {ext: content}) samples;
+    raises on non-adjacent key reappearance or duplicate ext in a
+    sample."""
+    seen: set[str] = set()
+    cur_key: str | None = None
+    cur: dict[str, bytes] = {}
+    for name, content in records:
+        key, ext = split_wds_key(name)
+        if key != cur_key:
+            if cur_key is not None:
+                yield cur_key, cur
+            if key in seen:
+                raise ValueError(
+                    f"webdataset: key {key!r} reappears non-adjacently in"
+                    f" {archive} — corrupt shard"
+                )
+            seen.add(key)
+            cur_key, cur = key, {}
+        if ext in cur:
+            raise ValueError(
+                f"webdataset: duplicate part {ext!r} for key {key!r} in"
+                f" {archive}"
+            )
+        cur[ext] = content
+    if cur_key is not None:
+        yield cur_key, cur
+
+
+def _wds_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"archive": [], "key": [], "parts": []}
+        for path in pdf["path"]:
+            path = str(path)
+            with _open_binary(path) as f:
+                raw = f.read()
+            if raw[:2] == b"\x1f\x8b":
+                raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
+            rd = _BlockReader(io.BytesIO(raw))
+            rd._buf, rd._buf_at = raw, 0
+            records = _iter_tar_records(
+                rd, 0, len(raw), len(raw),
+                aligned_at_zero=True, allow_global=True,
+            )
+            for key, parts in iter_wds_samples(records, path):
+                out["archive"].append(path)
+                out["key"].append(key)
+                out["parts"].append(parts)
+        yield pd.DataFrame(out)
+
+
+def read_webdataset(
+    spark: SparkSession, path: str, parallelism: int | None = None
+) -> DataFrame:
+    """(archive, key, parts map<ext, binary>) — one row per sample, one
+    task per shard.  Listing is binaryFile metadata only."""
+    meta = (
+        spark.read.format("binaryFile").load(path).select("path").collect()
+    )
+    paths = [(r["path"],) for r in meta]
+    if not paths:
+        return spark.createDataFrame([], WDS_SAMPLE_SCHEMA)
+    n = parallelism or spark.sparkContext.defaultParallelism
+    sdf = spark.createDataFrame(paths, "path string").repartition(
+        min(len(paths), n)
+    )
+    return sdf.mapInPandas(_wds_batches, schema=WDS_SAMPLE_SCHEMA)

@@ -1,0 +1,119 @@
+"""WebDataset sample reader (sources/webdataset.py): shard-per-task
+grouping of adjacent tar members into samples."""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+from pdf_extraction_spark.sources.webdataset import (
+    iter_wds_samples,
+    read_webdataset,
+    split_wds_key,
+)
+
+
+def _make_shard(path, samples):
+    """samples: [(key, {ext: bytes})] written in order, parts adjacent."""
+    with tarfile.open(path, "w", format=tarfile.PAX_FORMAT) as t:
+        for key, parts in samples:
+            for ext, data in parts.items():
+                name = key if not ext else f"{key}.{ext}"
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                info.mtime = 0
+                t.addfile(info, io.BytesIO(data))
+
+
+@pytest.mark.parametrize(
+    "name,key,ext",
+    [
+        ("train/00042.jpg", "train/00042", "jpg"),
+        ("train/00042.seg.png", "train/00042", "seg.png"),
+        ("dir.v1/sample.01.jpg", "dir.v1/sample", "01.jpg"),
+        ("plain", "plain", ""),
+        ("a/b/c.tar.gz", "a/b/c", "tar.gz"),
+    ],
+)
+def test_split_wds_key(name, key, ext):
+    assert split_wds_key(name) == (key, ext)
+
+
+def test_iter_wds_samples_groups_adjacent():
+    recs = [
+        ("s/0.jpg", b"j0"), ("s/0.cls", b"c0"), ("s/0.json", b"m0"),
+        ("s/1.jpg", b"j1"), ("s/1.cls", b"c1"),
+    ]
+    got = list(iter_wds_samples(iter(recs), "shard"))
+    assert got == [
+        ("s/0", {"jpg": b"j0", "cls": b"c0", "json": b"m0"}),
+        ("s/1", {"jpg": b"j1", "cls": b"c1"}),
+    ]
+
+
+def test_iter_wds_samples_rejects_nonadjacent_key():
+    recs = [("a.jpg", b"1"), ("b.jpg", b"2"), ("a.cls", b"3")]
+    with pytest.raises(ValueError, match="non-adjacent"):
+        list(iter_wds_samples(iter(recs), "shard"))
+
+
+def test_iter_wds_samples_rejects_duplicate_ext():
+    recs = [("a.jpg", b"1"), ("a.jpg", b"2")]
+    with pytest.raises(ValueError, match="duplicate part"):
+        list(iter_wds_samples(iter(recs), "shard"))
+
+
+def test_spark_read_webdataset_two_shards(spark, tmp_path):
+    d = tmp_path / "shards"
+    d.mkdir()
+    shard0 = [
+        ("train/0", {"jpg": b"img0", "cls": b"7", "json": b"{}"}),
+        ("train/1", {"jpg": b"img1", "cls": b"3"}),
+    ]
+    shard1 = [("train/2", {"jpg": b"img2", "txt": b"caption two"})]
+    _make_shard(str(d / "shard-000.tar"), shard0)
+    _make_shard(str(d / "shard-001.tar"), shard1)
+    df = read_webdataset(spark, str(d))
+    rows = {
+        r["key"]: (os.path.basename(r["archive"]),
+                   {k: bytes(v) for k, v in r["parts"].items()})
+        for r in df.collect()
+    }
+    assert rows == {
+        "train/0": ("shard-000.tar", shard0[0][1]),
+        "train/1": ("shard-000.tar", shard0[1][1]),
+        "train/2": ("shard-001.tar", shard1[0][1]),
+    }
+    # shard = task: the read fans across partitions without a shuffle
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("MapInPandas")[0]
+
+
+def test_spark_webdataset_decode_pipeline(spark, tmp_path):
+    """The full multimodal training dataflow: wds shard of REAL JPEGs ->
+    sample rows -> per-part decode with the from-scratch codec."""
+    from pdf_extraction_spark.operators.jpeg import (
+        encode_baseline_jpeg,
+        parse_jpeg,
+    )
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    samples = []
+    for i in range(4):
+        img = np.full((16, 16, 3), [(i * 40) % 256, 80, 160], dtype=np.uint8)
+        samples.append(
+            (f"s/{i}", {"jpg": encode_baseline_jpeg(img), "cls": str(i).encode()})
+        )
+    _make_shard(str(d / "imgs.tar"), samples)
+    df = read_webdataset(spark, str(d))
+    got = sorted(
+        (r["key"], parse_jpeg(bytes(r["parts"]["jpg"]))[:3],
+         int(r["parts"]["cls"]))
+        for r in df.collect()
+    )
+    assert got == [(f"s/{i}", (16, 16, 3), i) for i in range(4)]
