@@ -444,6 +444,53 @@ def read_docs_tar(
     return sdf.mapInPandas(_tar_split_batches, schema=TAR_DOC_SCHEMA)
 
 
+def write_tar_members(out, members: Iterator[tuple[str, bytes]]) -> int:
+    """Write (name, content) members as a POSIX ustar stream to the
+    binary file object ``out``; returns the member count.  Names longer
+    than 100 bytes (or non-ASCII-splittable) ride a PAX 'x' header with
+    a ``path`` record — exactly the layout the reader's logical-record
+    grouping handles.  Deterministic output: zero mtime, root ownership,
+    0644 mode."""
+
+    def _hdr(name_b: bytes, size: int, typeflag: bytes) -> bytes:
+        blk = bytearray(BLOCK)
+        blk[0 : len(name_b)] = name_b
+        blk[100:108] = b"0000644\x00"
+        blk[108:116] = b"0000000\x00"
+        blk[116:124] = b"0000000\x00"
+        blk[124:136] = b"%011o\x00" % size
+        blk[136:148] = b"%011o\x00" % 0  # mtime
+        blk[156:157] = typeflag
+        blk[257:263] = b"ustar\x00"
+        blk[263:265] = b"00"
+        chk = sum(blk[:148]) + 8 * 0x20 + sum(blk[156:])
+        blk[148:156] = b"%06o\x00 " % chk
+        return bytes(blk)
+
+    def _pad(n: int) -> bytes:
+        r = n % BLOCK
+        return b"\x00" * (BLOCK - r) if r else b""
+
+    count = 0
+    for name, content in members:
+        name_b = name.encode("utf-8")
+        if len(name_b) > 100:
+            pax = b"path=%s\n" % name_b
+            # record length counts itself: fixed-point the digit width
+            ln = len(pax) + 3
+            while len(b"%d " % ln) + len(pax) != ln:
+                ln = len(b"%d " % ln) + len(pax)
+            rec = b"%d " % ln + pax
+            out.write(_hdr(b"PaxHeader/" + name_b[:89], len(rec), b"x"))
+            out.write(rec + _pad(len(rec)))
+            name_b = name_b[:100]
+        out.write(_hdr(name_b, len(content), b"0"))
+        out.write(content + _pad(len(content)))
+        count += 1
+    out.write(b"\x00" * (BLOCK * 2))  # end-of-archive
+    return count
+
+
 def read_pages_tar(spark: SparkSession, path: str, **kw) -> DataFrame:
     """Adapt tar members to the pages contract (url/html/text):
     url is ``tar://<archive>!<member>``."""

@@ -117,6 +117,68 @@ def _wds_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+def write_webdataset(
+    df: DataFrame, out_dir: str, *, samples_per_shard: int = 1000
+) -> list[dict]:
+    """Write (key, parts map<ext,binary>) rows as WebDataset tar shards
+    under ``out_dir`` — each task streams its partition into
+    ``shard-{partition:05d}-{seq:03d}.tar`` files, rolling to a new
+    shard every ``samples_per_shard`` samples.  No shuffle, no driver
+    data movement: the returned manifest (shard path, sample count) is
+    the only thing collected.  Part extensions are written sorted for
+    deterministic bytes.
+
+    Shards are written with plain ``open()`` — a POSIX path visible to
+    every executor (local mode, NFS, or a FUSE-mounted object store); an
+    object-store-native writer would swap in an fsspec handle here."""
+    import os
+
+    from pyspark import TaskContext
+    from pdf_extraction_spark.sources.tarsource import write_tar_members
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        buf: list[tuple[str, dict]] = []
+
+        def _flush():
+            nonlocal seq
+            if not buf:
+                return None
+            shard = os.path.join(out_dir, f"shard-{pid:05d}-{seq:03d}.tar")
+            seq += 1
+            with open(shard, "wb") as f:
+                n = write_tar_members(
+                    f,
+                    (
+                        (f"{key}.{ext}" if ext else key, bytes(content))
+                        for key, parts in buf
+                        for ext, content in sorted(parts.items())
+                    ),
+                )
+            row = {"shard": shard, "members": n, "samples": len(buf)}
+            buf.clear()
+            return row
+
+        rows = []
+        for pdf in batches:
+            for key, parts in zip(pdf["key"], pdf["parts"]):
+                buf.append((str(key), parts))
+                if len(buf) >= samples_per_shard:
+                    rows.append(_flush())
+        last = _flush()
+        if last:
+            rows.append(last)
+        if rows:
+            yield pd.DataFrame(rows)
+
+    manifest_schema = "shard string, members long, samples long"
+    return [r.asDict() for r in
+            df.select("key", "parts").mapInPandas(_write, manifest_schema).collect()]
+
+
 def read_webdataset(
     spark: SparkSession, path: str, parallelism: int | None = None
 ) -> DataFrame:

@@ -93,6 +93,53 @@ def test_spark_read_webdataset_two_shards(spark, tmp_path):
     assert "Exchange" not in plan.split("MapInPandas")[0]
 
 
+def test_write_tar_members_roundtrip_and_tarfile_compat(tmp_path):
+    from pdf_extraction_spark.sources.tarsource import write_tar_members
+
+    members = [
+        ("short.txt", b"hello"),
+        ("empty.bin", b""),
+        ("deep/" + "n" * 150 + "/padded.dat", bytes(range(256))),
+        ("unicode ✓.md", "content ✓".encode()),
+    ]
+    p = str(tmp_path / "out.tar")
+    with open(p, "wb") as f:
+        assert write_tar_members(f, iter(members)) == len(members)
+    # stdlib tarfile must read our bytes back exactly (PAX longname incl.)
+    with tarfile.open(p) as t:
+        got = [(m.name, t.extractfile(m).read()) for m in t if m.isfile()]
+    assert got == members
+    # and so must our own range reader
+    from tests.test_tarsource import _read_range_all
+
+    ln = os.path.getsize(p)
+    assert _read_range_all(p, ln, split_bytes=1024) == members
+
+
+def test_spark_write_webdataset_roundtrip(spark, tmp_path):
+    from pdf_extraction_spark.sources.webdataset import write_webdataset
+
+    samples = [
+        (f"train/{i:04d}", {"jpg": bytes([i]) * (i + 1), "cls": str(i).encode()})
+        for i in range(17)
+    ]
+    df = spark.createDataFrame(
+        [(k, p) for k, p in samples], "key string, parts map<string,binary>"
+    ).repartition(3)
+    out = str(tmp_path / "shards")
+    manifest = write_webdataset(df, out, samples_per_shard=4)
+    assert sum(m["samples"] for m in manifest) == 17
+    assert all(m["members"] == 2 * m["samples"] for m in manifest)
+    # rolling: no shard exceeds the cap
+    assert max(m["samples"] for m in manifest) <= 4
+    back = read_webdataset(spark, out)
+    got = sorted(
+        (r["key"], {k: bytes(v) for k, v in r["parts"].items()})
+        for r in back.collect()
+    )
+    assert got == sorted(samples)
+
+
 def test_spark_webdataset_decode_pipeline(spark, tmp_path):
     """The full multimodal training dataflow: wds shard of REAL JPEGs ->
     sample rows -> per-part decode with the from-scratch codec."""
