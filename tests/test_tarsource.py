@@ -13,6 +13,8 @@ import os
 import tarfile
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from pdf_extraction_spark.sources.tarsource import (
     BLOCK,
@@ -187,6 +189,49 @@ def test_base256_size_field():
     blk[148:156] = b"%06o\x00 " % chk
     hdr = _parse_header(bytes(blk))
     assert hdr is not None and hdr["size"] == size
+
+
+_name_chars = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        exclude_characters="\x00/",
+        exclude_categories=("Cs",),
+    ),
+    min_size=1,
+    max_size=40,
+)
+_member = st.tuples(
+    st.lists(_name_chars, min_size=1, max_size=4).map("/".join),
+    st.binary(min_size=0, max_size=2000),
+)
+_archive = st.lists(
+    _member, min_size=0, max_size=12,
+    unique_by=lambda m: m[0],
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_archive, st.integers(min_value=1, max_value=20))
+def test_property_writer_reader_roundtrip_under_splits(members, nsplit):
+    """Fuzz: write members with the in-repo ustar writer, read them back
+    through consecutive byte-range splits at an arbitrary granularity —
+    exact multiset identity, every time."""
+    from pdf_extraction_spark.sources.tarsource import write_tar_members
+
+    buf = io.BytesIO()
+    write_tar_members(buf, iter(members))
+    raw = buf.getvalue()
+    ln = len(raw)
+    split_bytes = max(BLOCK, (ln // nsplit // BLOCK) * BLOCK or BLOCK)
+    got = []
+    f = io.BytesIO(raw)
+    for s in range(0, ln, split_bytes):
+        rd = _BlockReader(f)
+        got.extend(
+            _iter_tar_records(rd, s, min(s + split_bytes, ln), ln,
+                              aligned_at_zero=(s == 0))
+        )
+    assert got == members
 
 
 def test_spark_read_docs_tar_split_and_exact(spark, tmp_path):
