@@ -1,0 +1,101 @@
+"""Universal sniff-and-dispatch extraction (operators/any_text.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pdf_extraction_spark.operators.any_text import (
+    extract_any,
+    extract_any_text,
+    sniff_doc_type,
+)
+from pdf_extraction_spark.operators.docx_text import build_docx
+from pdf_extraction_spark.operators.epub_text import build_epub
+from pdf_extraction_spark.operators.jpeg import encode_baseline_jpeg
+from pdf_extraction_spark.operators.multimodal import synth_png_bytes
+from pdf_extraction_spark.pdf_parse import build_pdf
+
+
+def test_sniff_types():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    cases = [
+        (build_pdf(["hello"]), "pdf"),
+        (build_pdf(["x"], encrypt="aes-128"), "pdf"),
+        (build_docx(["para"]), "docx"),
+        (build_epub(["chap"]), "epub"),
+        (synth_png_bytes(3), "png"),
+        (encode_baseline_jpeg(img), "jpeg"),
+        (b"GIF89a\x01\x00\x01\x00", "gif"),
+        (b"BM....", "bmp"),
+        (b"II*\x00rest", "tiff"),
+        (b"MM\x00*rest", "tiff"),
+        (b"<html><body>x</body></html>", "html"),
+        (b"  <!DOCTYPE html><p>y</p>", "html"),
+        (b"plain old text \xe2\x9c\x93", "text"),
+        (b"\xff\xfe\x00\x01 not utf8 not magic", "binary"),
+        (b"PK\x03\x04 corrupt zip that is not a zip", "zip"),
+    ]
+    for raw, expect in cases:
+        assert sniff_doc_type(raw) == expect, raw[:8]
+
+
+def test_extract_any_per_type():
+    t, text = extract_any(build_pdf(["page one\nline", "page two"]))
+    assert t == "pdf" and text == "page one\nline\npage two"
+    t, text = extract_any(build_docx(["alpha", "beta"]))
+    assert t == "docx" and text == "alpha\nbeta"
+    t, text = extract_any(build_epub(["c1", "c2"]))
+    assert t == "epub" and "c1" in text and "c2" in text
+    t, text = extract_any("déjà vu".encode())
+    assert t == "text" and text == "déjà vu"
+    t, text = extract_any(b"<html><body><p>" + b"This is the main article body with plenty of real sentence text to score well. " * 4 + b"</p></body></html>")
+    assert t == "html" and "main article body" in text
+    t, text = extract_any(synth_png_bytes(1))
+    assert t == "png" and text is None
+
+
+def test_spark_mixed_corpus_dispatch(spark):
+    img = np.full((8, 8, 3), 99, dtype=np.uint8)
+    blobs = [
+        (0, build_pdf(["pdf body"], font="winansi")),
+        (1, build_docx(["docx body"])),
+        (2, b"<html><body><p>" + b"The html body paragraph repeats with enough length to pass scoring. " * 4 + b"</p></body></html>"),
+        (3, "plain body ✓".encode()),
+        (4, encode_baseline_jpeg(img)),
+        (5, b"%PDF-1.4 truncated garbage"),  # parser error -> contained
+        (6, b"\x00\x01\x02\x03"),
+        (7, build_epub(["epub body"])),
+    ]
+    df = spark.createDataFrame(blobs, "doc_id long, content binary")
+    rows = {r["doc_id"]: r for r in extract_any_text(df).collect()}
+    assert len(rows) == 8
+    assert rows[0]["doc_type"] == "pdf" and rows[0]["text"] == "pdf body"
+    assert rows[1]["doc_type"] == "docx" and rows[1]["text"] == "docx body"
+    assert rows[2]["doc_type"] == "html" and "html body paragraph" in rows[2]["text"]
+    assert rows[3]["doc_type"] == "text" and rows[3]["text"] == "plain body ✓"
+    assert rows[4]["doc_type"] == "jpeg" and rows[4]["text"] is None
+    assert rows[6]["doc_type"] == "binary" and rows[6]["text"] is None
+    assert rows[7]["doc_type"] == "epub" and rows[7]["text"] == "epub body"
+    # containment: the truncated PDF yields an error row, job survives
+    bad = rows[5]
+    assert bad["text"] is None
+    assert bad["doc_type"] in ("error", "pdf")
+    if bad["doc_type"] == "error":
+        assert bad["error"]
+    # every non-error row has a NULL error
+    assert all(rows[i]["error"] is None for i in (0, 1, 2, 3, 4, 6, 7))
+
+
+def test_spark_plan_is_shuffle_free_when_well_split(spark):
+    df = spark.createDataFrame(
+        [(i, b"plain") for i in range(64)], "doc_id long, content binary"
+    ).repartition(8)
+    plan = (
+        extract_any_text(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan
+    # rebalance_if_undersplit is a no-op over >= parallelism inputs only
+    # when the input is a scan; over an already-repartitioned in-memory
+    # frame the guard still must not add a SECOND exchange
+    assert plan.count("Exchange") <= 1
