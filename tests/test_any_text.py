@@ -87,6 +87,47 @@ def test_spark_mixed_corpus_dispatch(spark):
     assert all(rows[i]["error"] is None for i in (0, 1, 2, 3, 4, 6, 7))
 
 
+def test_spark_tar_archive_of_mixed_documents(spark, tmp_path):
+    """The full mixed-corpus ingest: a tar of PDFs/DOCX/HTML/binary ->
+    read_docs_tar -> extract_any_text, correct text per member."""
+    import io
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.sources.tarsource import read_docs_tar
+
+    members = [
+        ("a/report.pdf", build_pdf(["quarterly figures"])),
+        ("a/memo.docx", build_docx(["memo body"])),
+        ("b/page.html", b"<html><body><p>"
+         + b"The web page body has enough words to clear the scorer. " * 4
+         + b"</p></body></html>"),
+        ("b/blob.bin", b"\x00\xffopaque"),
+    ]
+    p = str(tmp_path / "mixed.tar")
+    with tarfile.open(p, "w", format=tarfile.PAX_FORMAT) as t:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            t.addfile(info, io.BytesIO(data))
+    docs = read_docs_tar(spark, p).select(
+        F.xxhash64("name").alias("doc_id"), "name", "content"
+    )
+    joined = {
+        r["name"]: r
+        for r in docs.join(extract_any_text(docs), "doc_id").collect()
+    }
+    assert joined["a/report.pdf"]["doc_type"] == "pdf"
+    assert joined["a/report.pdf"]["text"] == "quarterly figures"
+    assert joined["a/memo.docx"]["doc_type"] == "docx"
+    assert joined["a/memo.docx"]["text"] == "memo body"
+    assert joined["b/page.html"]["doc_type"] == "html"
+    assert "web page body" in joined["b/page.html"]["text"]
+    assert joined["b/blob.bin"]["doc_type"] == "binary"
+
+
 def test_spark_plan_is_shuffle_free_when_well_split(spark):
     df = spark.createDataFrame(
         [(i, b"plain") for i in range(64)], "doc_id long, content binary"
