@@ -117,6 +117,47 @@ def _wds_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+def read_webdataset_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming shard ingest: new ``.tar`` files landing under ``path``
+    become sample rows — the continuous-training shape where an upstream
+    job keeps publishing shards.  Built on the binaryFile STREAM source
+    (checkpointable, exactly-once per shard file); each shard's bytes
+    arrive in the stream row and parse in-memory with the same record
+    iterator and grouping as the batch reader, so batch and stream
+    results are identical per shard.  maxFilesPerTrigger bounds shards
+    (and therefore executor memory) per micro-batch."""
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    files = reader.load(path).select("path", "content")
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"archive": [], "key": [], "parts": []}
+            for path_, raw in zip(pdf["path"], pdf["content"]):
+                raw = bytes(raw)
+                if raw[:2] == b"\x1f\x8b":
+                    raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
+                rd = _BlockReader(io.BytesIO(raw))
+                rd._buf, rd._buf_at = raw, 0
+                records = _iter_tar_records(
+                    rd, 0, len(raw), len(raw),
+                    aligned_at_zero=True, allow_global=True,
+                )
+                for key, parts in iter_wds_samples(records, str(path_)):
+                    out["archive"].append(str(path_))
+                    out["key"].append(key)
+                    out["parts"].append(parts)
+            if out["key"]:
+                yield pd.DataFrame(out)
+
+    return files.mapInPandas(_batches, schema=WDS_SAMPLE_SCHEMA)
+
+
 def write_webdataset(
     df: DataFrame, out_dir: str, *, samples_per_shard: int = 1000
 ) -> list[dict]:

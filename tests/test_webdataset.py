@@ -140,6 +140,43 @@ def test_spark_write_webdataset_roundtrip(spark, tmp_path):
     assert got == sorted(samples)
 
 
+def test_spark_webdataset_stream_matches_batch(spark, tmp_path):
+    """Streaming shard ingest == batch read, exactly-once across a
+    restart (second availableNow drain admits only the NEW shard)."""
+    from pdf_extraction_spark.sources.webdataset import (
+        read_webdataset_stream,
+    )
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    _make_shard(str(d / "s0.tar"), [("a/0", {"txt": b"zero"}),
+                                    ("a/1", {"txt": b"one"})])
+    _make_shard(str(d / "s1.tar"), [("a/2", {"txt": b"two"})])
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def _drain():
+        q = (
+            read_webdataset_stream(spark, str(d), max_files_per_trigger=1)
+            .selectExpr("archive", "key", "parts['txt'] as txt")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    _drain()
+    got = {(r["key"], bytes(r["txt"])) for r in spark.read.parquet(out).collect()}
+    assert got == {("a/0", b"zero"), ("a/1", b"one"), ("a/2", b"two")}
+    # restart with one new shard: only its samples are appended
+    _make_shard(str(d / "s2.tar"), [("a/3", {"txt": b"three"})])
+    _drain()
+    got2 = sorted(r["key"] for r in spark.read.parquet(out).collect())
+    assert got2 == ["a/0", "a/1", "a/2", "a/3"]
+
+
 def test_spark_webdataset_decode_pipeline(spark, tmp_path):
     """The full multimodal training dataflow: wds shard of REAL JPEGs ->
     sample rows -> per-part decode with the from-scratch codec."""
