@@ -47,7 +47,7 @@ _IMAGE_MAGIC = [
     (b"II*\x00", "tiff"),
     (b"MM\x00*", "tiff"),
     (b"\x00\x00\x01\x00", "ico"),
-    (b"RIFF", "riff"),
+    (b"ID3", "mp3"),
 ]
 
 
@@ -73,6 +73,14 @@ def sniff_doc_type(raw: bytes) -> str:
     for magic, t in _IMAGE_MAGIC:
         if raw[: len(magic)] == magic:
             return t
+    if raw[:4] == b"RIFF":
+        return "wav" if raw[8:12] == b"WAVE" else "riff"
+    if raw[4:8] == b"ftyp":  # ISO-BMFF: box size then 'ftyp'
+        return "mp4"
+    if len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xFE) == 0xFA:
+        return "mp3"  # bare MPEG-1 Layer III frame sync (no ID3 tag);
+        # deliberately narrow — a loose 11-bit sync test would claim
+        # UTF-16 BOMs and arbitrary high-byte binaries
     stripped = raw.lstrip()[:16].lower()
     if stripped[:1] == b"<":
         # markup-leading blobs route through the HTML kernel (which also

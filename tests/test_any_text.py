@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from pdf_extraction_spark.operators.any_text import (
     extract_any,
@@ -35,6 +37,12 @@ def test_sniff_types():
         (b"plain old text \xe2\x9c\x93", "text"),
         (b"\xff\xfe\x00\x01 not utf8 not magic", "binary"),
         (b"PK\x03\x04 corrupt zip that is not a zip", "zip"),
+        (b"RIFF\x24\x00\x00\x00WAVEfmt ", "wav"),
+        (b"RIFF\x24\x00\x00\x00AVI LIST", "riff"),
+        (b"\x00\x00\x00\x18ftypisom rest", "mp4"),
+        (b"ID3\x04\x00\x00\x00\x00\x00\x00", "mp3"),
+        (b"\xff\xfb\x90\x00 frame", "mp3"),
+        (b"\xff\xfe\x00\x01 utf16-bom-ish", "binary"),
     ]
     for raw, expect in cases:
         assert sniff_doc_type(raw) == expect, raw[:8]
@@ -53,6 +61,38 @@ def test_extract_any_per_type():
     assert t == "html" and "main article body" in text
     t, text = extract_any(synth_png_bytes(1))
     assert t == "png" and text is None
+
+
+_doc_text = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs", "Cc")),
+    min_size=1,
+    max_size=120,
+).filter(lambda s: s.strip() and not s.lstrip().startswith("<"))
+
+
+@settings(max_examples=60, deadline=None)
+@given(_doc_text, st.sampled_from(["pdf", "docx", "epub", "text"]))
+def test_property_routing_identity(text, fmt):
+    """build_<fmt>(text) -> extract_any recovers the format AND (after
+    each builder's documented sanitize contract) the text."""
+    if fmt == "pdf":
+        # extract(build(pages)) is the identity on arbitrary Unicode
+        # (pdf_parse module contract)
+        t, got = extract_any(build_pdf([text]))
+        assert t == "pdf" and got == text
+    elif fmt == "docx":
+        from pdf_extraction_spark.operators.docx_text import sanitize_for_xml
+
+        t, got = extract_any(build_docx([text]))
+        assert t == "docx" and got == sanitize_for_xml(text)
+    elif fmt == "epub":
+        from pdf_extraction_spark.operators.docx_text import sanitize_for_xml
+
+        t, got = extract_any(build_epub([text]))
+        assert t == "epub" and sanitize_for_xml(text).strip() in got
+    else:
+        t, got = extract_any(text.encode())
+        assert t == "text" and got == text
 
 
 def test_spark_mixed_corpus_dispatch(spark):
