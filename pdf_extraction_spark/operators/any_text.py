@@ -129,26 +129,44 @@ ANY_TEXT_SCHEMA = "doc_id long, doc_type string, text string, error string"
 
 
 def extract_any_text(
-    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    *,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
-    """(doc_id, doc_type, text, error) for a mixed binary-document
-    corpus — the sniff-and-dispatch pass described in the module
-    docstring, with per-document error containment."""
+    """(doc_id, [passthrough...], doc_type, text, error) for a mixed
+    binary-document corpus — the sniff-and-dispatch pass described in
+    the module docstring, with per-document error containment.
+
+    ``passthrough`` columns ride through the kernel unchanged (strings),
+    so provenance needs no join-back — a join against the input would
+    re-scan the corpus and shuffle both sides; at 100 TB that doubles
+    the job."""
+    extra = list(passthrough or [])
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"doc_id": [], "doc_type": [], "text": [], "error": []}
-            for doc_id, raw in zip(pdf[id_col], pdf[content_col]):
+            out: dict[str, list] = {"doc_id": []}
+            for c in extra:
+                out[c] = []
+            out.update({"doc_type": [], "text": [], "error": []})
+            for i, (doc_id, raw) in enumerate(zip(pdf[id_col], pdf[content_col])):
                 try:
                     t, text = extract_any(bytes(raw))
                     err = None
                 except Exception as exc:  # containment: one bad doc != job
                     t, text, err = "error", None, f"{type(exc).__name__}: {exc}"
                 out["doc_id"].append(int(doc_id))
+                for c in extra:
+                    out[c].append(pdf[c].iloc[i])
                 out["doc_type"].append(t)
                 out["text"].append(text)
                 out["error"].append(err)
             yield pd.DataFrame(out)
 
-    src = rebalance_if_undersplit(df.select(id_col, content_col))
-    return src.mapInPandas(_batches, schema=ANY_TEXT_SCHEMA)
+    schema = "doc_id long, " + "".join(f"{c} string, " for c in extra) + (
+        "doc_type string, text string, error string"
+    )
+    src = rebalance_if_undersplit(df.select(id_col, *extra, content_col))
+    return src.mapInPandas(_batches, schema=schema)
