@@ -1925,13 +1925,16 @@ def q_extract_pdf_scanned(spark, sf_dir):
     """Scanned-document ingestion as a first-class query (round-5,
     NEW — parked in all_queries() until the round-6 promotion window;
     the driver snapshot is already taken this round): each document's
-    text rasterizes to a JPEG embedded in a REAL scanned-style PDF
-    (/XObject /Image /Filter /DCTDecode, image-only page; layouts and
-    rc4/aes encryption vary by doc_id), and the query recovers the
-    image listing's metadata AND the OCR'd text.  The oracle replays
-    only construction constants (1 image, 128x64, DCTDecode) and the
-    charset projection — any defect in the embed, the listing, the
-    decrypt-without-decode path, the JPEG codec, or the OCR breaks the
+    text rasterizes onto a page embedded in a REAL scanned-style PDF —
+    even ids as JPEG (/XObject /Image /Filter /DCTDecode), odd ids as a
+    CCITT Group 4 bilevel scan (/CCITTFaxDecode /K -1, the compression
+    real document scanners emit, decoded by the from-scratch T.6 codec
+    in operators/ccitt.py); image-only pages, layouts and rc4/aes
+    encryption vary by doc_id.  The query recovers the image listing's
+    metadata AND the OCR'd text.  The oracle replays only construction
+    constants (1 image, 128x64, the filter parity) and the charset
+    projection — any defect in the embed, the listing, the
+    decrypt-without-decode path, either codec, or the OCR breaks the
     value hash."""
     from pdf_extraction_spark.operators.ocr import scanned_pdf_extract
 
@@ -1944,7 +1947,8 @@ SELECT doc_id,
        CAST(1 AS INT) AS n_images,
        CAST(128 AS INT) AS img_width,
        CAST(64 AS INT) AS img_height,
-       'DCTDecode' AS img_filter,
+       CASE WHEN doc_id % 2 = 0 THEN 'DCTDecode' ELSE 'CCITTFaxDecode' END
+         AS img_filter,
        substr(regexp_replace(coalesce(text, ''), '[^ -~]', '?', 'g'), 1, 128)
          AS recovered_text
 FROM documents
@@ -2202,6 +2206,58 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        CAST(max(CASE WHEN j = 0 AND k = 0 THEN val END) AS INT) AS tl_r,
        CAST(max(CASE WHEN j = 0 AND k = 1 THEN val END) AS INT) AS tl_g,
        CAST(max(CASE WHEN j = 0 AND k = 2 THEN val END) AS INT) AS tl_b,
+       CAST(1 AS INT) AS is_valid
+FROM v GROUP BY doc_id, w, h
+"""
+
+
+def q_multimodal_tiff_g4(spark, sf_dir):
+    """REAL CCITT Group 4 (ITU-T T.6 / MMR) decode inside TIFF — the
+    compression real document scanners emit (round-5, NEW — parked in
+    all_queries(); the driver snapshot is already taken this round):
+    bilevel Compression=4 files (PhotometricInterpretation 0, 1
+    bit/sample, strips of 3 rows so multi-strip assembly and a partial
+    last strip occur, II/MM by parity) whose T.6 streams the
+    from-scratch codec in operators/ccitt.py decodes — pass /
+    horizontal / vertical coding against the reference line, T.4
+    white/black run alphabets, EOFB.  Pixels are ink iff their shared
+    md5-formula byte >= 128, so the DuckDB twin replays the exact
+    bilevel image analytically: any mode-coding, run-table, strip, or
+    IFD defect breaks the value hash."""
+    from pdf_extraction_spark.operators.tiff import decode_tiff, synth_tiff_g4
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    blobs = synth_tiff_g4(d, "doc_id")
+    return decode_tiff(blobs, "media_id", "blob")
+
+
+_ORACLE_TIFF_G4 = """
+WITH m AS (
+  SELECT doc_id, CAST(20 + doc_id % 13 AS INT) AS w, CAST(10 + doc_id % 7 AS INT) AS h
+  FROM documents
+),
+rows_ AS (SELECT doc_id, w, h, unnest(range(h)) AS j FROM m),
+rh AS (
+  SELECT doc_id, w, h, j,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':g' || CAST(j AS VARCHAR) || ':a')
+                || md5(CAST(doc_id AS VARCHAR) || ':g' || CAST(j AS VARCHAR) || ':b'),
+                1, w*2) AS hx
+  FROM rows_
+),
+b AS (SELECT doc_id, w, h, j, unnest(range(w)) AS k, hx FROM rh),
+v AS (
+  SELECT doc_id, w, h, j, k,
+         CASE WHEN CAST(('0x' || substr(hx, CAST(k*2 + 1 AS INT), 2)) AS INT) >= 128
+              THEN 0 ELSE 255 END AS val
+  FROM b
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       CAST(sum(val) * 1000 // (w*h) AS BIGINT) AS mean_r_milli,
+       CAST(sum(val) * 1000 // (w*h) AS BIGINT) AS mean_g_milli,
+       CAST(sum(val) * 1000 // (w*h) AS BIGINT) AS mean_b_milli,
+       CAST(max(CASE WHEN j = 0 AND k = 0 THEN val END) AS INT) AS tl_r,
+       CAST(max(CASE WHEN j = 0 AND k = 0 THEN val END) AS INT) AS tl_g,
+       CAST(max(CASE WHEN j = 0 AND k = 0 THEN val END) AS INT) AS tl_b,
        CAST(1 AS INT) AS is_valid
 FROM v GROUP BY doc_id, w, h
 """
@@ -2941,6 +2997,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_scanned": q_extract_pdf_scanned,
         "extract_pdf_encrypted": q_extract_pdf_encrypted,
         "multimodal_tiff_decode": q_multimodal_tiff_decode,
+        "multimodal_tiff_g4": q_multimodal_tiff_g4,
         "extract_docx_text": q_extract_docx_text,
         "extract_epub_text": q_extract_epub_text,
         "multimodal_ico_decode": q_multimodal_ico_decode,
@@ -3166,6 +3223,7 @@ def all_oracles() -> dict[str, str]:
         "extract_pdf_scanned": _ORACLE_PDF_SCANNED,
         "extract_pdf_encrypted": _ORACLE_PDF_TEXT,
         "multimodal_tiff_decode": _ORACLE_TIFF_DECODE,
+        "multimodal_tiff_g4": _ORACLE_TIFF_G4,
         "extract_docx_text": _ORACLE_DOCX_TEXT,
         "extract_epub_text": _ORACLE_EPUB_TEXT,
         "multimodal_ico_decode": _ORACLE_ICO_DECODE,

@@ -61,6 +61,7 @@ HEADLINE = [
     "multimodal_gif_decode",
     "multimodal_jpeg_decode",
     "multimodal_tiff_decode",
+    "multimodal_tiff_g4",
     "extract_docx_text",
     "extract_pdf_text",
     # NOT in the headline (deliberate slow paths whose cost is the

@@ -41,6 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
 
+from pdf_extraction_spark.operators.ccitt import g4_decode, g4_encode
 from pdf_extraction_spark.operators.jpeg import encode_baseline_jpeg, parse_jpeg
 from pdf_extraction_spark.pdf_parse import build_pdf, extract_pdf_images
 
@@ -177,14 +178,23 @@ SCANNED_SCHEMA = StructType(
 
 def _scanned_one(doc_id: int, text: str) -> tuple[int, int, int, str, str]:
     """Build a scanned-style PDF for one document and recover both the
-    image-XObject metadata and the OCR'd text.  Layout and encryption
-    vary analytically so the listing is exercised through xref streams,
-    ObjStm packing, and both crypt-filter families."""
+    image-XObject metadata and the OCR'd text.  Even ids embed the page
+    as JPEG (/DCTDecode), odd ids as a CCITT Group 4 bilevel scan
+    (/CCITTFaxDecode, the compression real document scanners emit);
+    layout and encryption vary analytically so the listing is exercised
+    through xref streams, ObjStm packing, and both crypt-filter
+    families."""
     page = sanitize_text(text or "")
-    jpeg = encode_baseline_jpeg(render_page(page))
+    raster = render_page(page)
+    if doc_id % 2 == 0:
+        payload = encode_baseline_jpeg(raster)
+    else:
+        h, w = raster.shape
+        rows = [bytes(1 if v < 128 else 0 for v in raster[j]) for j in range(h)]
+        payload = ("g4", w, h, g4_encode(rows, w))
     pdf = build_pdf(
         [""],
-        images=[jpeg],
+        images=[payload],
         xref_stream=doc_id % 2 == 1,
         use_objstm=doc_id % 4 == 1,
         encrypt={0: None, 1: "rc4-128", 2: "aes-128"}[doc_id % 3],
@@ -193,8 +203,21 @@ def _scanned_one(doc_id: int, text: str) -> tuple[int, int, int, str, str]:
     if not imgs or not imgs[0]:
         return 0, 0, 0, "", ""
     im = imgs[0][0]
-    decoded = parse_jpeg(im["data"])
-    rec = "" if decoded is None else ocr_page(decoded[3][:, :, 0])
+    if im["filter"] == "CCITTFaxDecode":
+        parms = im["decode_parms"] or {}
+        bits = g4_decode(
+            im["data"], int(parms.get("Columns", 1728)), int(parms.get("Rows", 0)) or None
+        )
+        # BlackIs1 true: 1 = ink; rebuild the grayscale page (ink 0)
+        img = np.where(
+            np.frombuffer(b"".join(bits), np.uint8).reshape(im["height"], im["width"]),
+            0,
+            255,
+        ).astype(np.uint8)
+        rec = ocr_page(img)
+    else:
+        decoded = parse_jpeg(im["data"])
+        rec = "" if decoded is None else ocr_page(decoded[3][:, :, 0])
     return (
         sum(len(pg) for pg in imgs),
         im["width"],

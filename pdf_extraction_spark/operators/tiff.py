@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
+from pdf_extraction_spark.operators.ccitt import g4_decode, g4_encode
 from pdf_extraction_spark.pdf_parse import _pdf_lzw_decode, _pdf_lzw_encode
 
 # the IFD tags baseline RGB needs
@@ -162,15 +163,44 @@ def parse_tiff(raw: bytes):
     if (
         not w
         or not h
-        or spp != 3
-        or any(b != 8 for b in bps)
-        or len(bps) != 3
         or offsets is None
         or counts is None
         or len(offsets) != len(counts)
+        or not rps
+    ):
+        return None
+    if comp == 4:
+        # CCITT Group 4 bilevel — what real scanners emit.  Fax sense only
+        # (PhotometricInterpretation 0 = WhiteIsZero, the T.6 convention);
+        # each strip is an independent T.6 block per the TIFF 6.0 G4 spec.
+        if spp != 1 or bps != [1] or one(_T_PHOTOMETRIC, 0) != 0 or predictor != 1:
+            return None
+        rows = []
+        for s, (soff, scnt) in enumerate(zip(offsets, counts)):
+            if soff + scnt > len(raw):
+                return None
+            nrows = min(rps, h - s * rps)
+            if nrows <= 0:
+                return None
+            try:
+                bilevel = g4_decode(raw[soff : soff + scnt], w, nrows)
+            except ValueError:
+                return None
+            if len(bilevel) != nrows:
+                return None
+            for brow in bilevel:
+                # ink (1) -> 0,0,0; paper (0) -> 255,255,255 so the G4 path
+                # feeds the same RGB stats contract as every other branch
+                rows.append(bytes(v for px in brow for v in ((0,) * 3 if px else (255,) * 3)))
+        if len(rows) != h:
+            return None
+        return w, h, rows
+    if (
+        spp != 3
+        or any(b != 8 for b in bps)
+        or len(bps) != 3
         or comp not in (1, 5, 32773)
         or predictor not in (1, 2)
-        or not rps
     ):
         return None
     stride = w * 3
@@ -243,27 +273,33 @@ def synth_tiff_bytes(media_id: int) -> bytes:
         else:
             strips.append(bytes(data))
 
-    def b(v, n):
-        return int(v).to_bytes(n, bo)
-
-    out = bytearray()
-    out += (b"II" if bo == "little" else b"MM") + b(42, 2)
-    out += b(8, 4)  # IFD right after the header; strip data follows it
-    nstrips = len(strips)
     entries = [
         (_T_WIDTH, 3, [w]),
         (_T_HEIGHT, 3, [h]),
         (_T_BPS, 3, [8, 8, 8]),
         (_T_COMPRESSION, 3, [comp]),
         (_T_PHOTOMETRIC, 3, [2]),  # RGB
-        (_T_STRIP_OFFSETS, 4, [0] * nstrips),  # patched below
+        (_T_STRIP_OFFSETS, 4, [0] * len(strips)),  # patched in assembly
         (_T_SPP, 3, [3]),
         (_T_ROWS_PER_STRIP, 3, [rps]),
         (_T_STRIP_COUNTS, 4, [len(s) for s in strips]),
     ]
     if predictor == 2:
         entries.append((_T_PREDICTOR, 3, [2]))
-    entries.sort()
+    return _assemble_tiff(bo, entries, strips)
+
+
+def _assemble_tiff(bo: str, entries: list, strips: list[bytes]) -> bytes:
+    """Serialize header + one IFD + out-of-line values + strip data;
+    the STRIP_OFFSETS entry is patched with the real strip positions."""
+
+    def b(v, n):
+        return int(v).to_bytes(n, bo)
+
+    out = bytearray()
+    out += (b"II" if bo == "little" else b"MM") + b(42, 2)
+    out += b(8, 4)  # IFD right after the header; strip data follows it
+    entries = sorted(entries)
     ifd_at = 8
     ifd_size = 2 + len(entries) * 12 + 4
     extra_at = ifd_at + ifd_size
@@ -302,6 +338,66 @@ def synth_tiff_bytes(media_id: int) -> bytes:
     for s in strips:
         out += s
     return bytes(out)
+
+
+def _tiff_g4_dims(media_id: int) -> tuple[int, int]:
+    return 20 + media_id % 13, 10 + media_id % 7  # w 20..32 (<= 32 = two md5 blocks)
+
+
+def _tiff_g4_row(media_id: int, j: int, w: int) -> bytes:
+    """Bilevel row: pixel is ink iff its md5-formula byte >= 128 — the
+    same shared md5_row_bytes contract the DuckDB oracle replays (tag
+    'g'), re-thresholded so the pattern is irregular enough to exercise
+    pass/horizontal/vertical coding against a changing reference line."""
+    from pdf_extraction_spark.operators.multimodal import md5_row_bytes
+
+    return bytes(1 if v >= 128 else 0 for v in md5_row_bytes(media_id, "g", j, w))
+
+
+def synth_tiff_g4_bytes(media_id: int) -> bytes:
+    """A spec-shaped CCITT Group 4 bilevel TIFF (Compression=4,
+    PhotometricInterpretation=0 WhiteIsZero, BitsPerSample=1) — the
+    format real document scanners emit.  Byte order II/MM by parity;
+    strips of 3 rows so multi-strip assembly and a partial last strip
+    occur, each strip an independent T.6 block per TIFF 6.0."""
+    w, h = _tiff_g4_dims(media_id)
+    bo = "little" if media_id % 2 == 0 else "big"
+    rps = 3
+    strips = []
+    for s in range((h + rps - 1) // rps):
+        nrows = min(rps, h - s * rps)
+        rows = [_tiff_g4_row(media_id, s * rps + j, w) for j in range(nrows)]
+        strips.append(g4_encode(rows, w))
+    entries = [
+        (_T_WIDTH, 3, [w]),
+        (_T_HEIGHT, 3, [h]),
+        (_T_BPS, 3, [1]),
+        (_T_COMPRESSION, 3, [4]),
+        (_T_PHOTOMETRIC, 3, [0]),  # WhiteIsZero — the fax convention
+        (_T_STRIP_OFFSETS, 4, [0] * len(strips)),
+        (_T_SPP, 3, [1]),
+        (_T_ROWS_PER_STRIP, 3, [rps]),
+        (_T_STRIP_COUNTS, 4, [len(s) for s in strips]),
+    ]
+    return _assemble_tiff(bo, entries, strips)
+
+
+def _tiff_g4_synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": [int(m) for m in pdf["media_id"]],
+                "blob": [synth_tiff_g4_bytes(int(m)) for m in pdf["media_id"]],
+            }
+        )
+
+
+def synth_tiff_g4(df: DataFrame, id_col: str) -> DataFrame:
+    """(media_id, blob) with a real G4-compressed bilevel TIFF per id."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    return rebalance_if_undersplit(src).mapInPandas(
+        _tiff_g4_synth_batches, schema="media_id long, blob binary"
+    )
 
 
 TIFF_DECODE_SCHEMA = StructType(

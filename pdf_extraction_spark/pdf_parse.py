@@ -556,13 +556,17 @@ def build_pdf(
       CMap; ``"cid"`` emits a Type0/Identity-H composite font with
       2-byte codes and a CMap.  In every mode
       ``extract_pdf_pages(build_pdf(pages, font=m))`` is the identity.
-    * ``images``: optional per-page JPEG bytes (aligned with ``pages``;
-      None skips a page).  Each JPEG embeds VERBATIM as an
-      ``/XObject /Image /Filter /DCTDecode`` (grayscale, dims probed
-      from its SOF marker) painted by a ``cm``+``Do`` before the text —
+    * ``images``: optional per-page image payloads (aligned with
+      ``pages``; None skips a page).  Plain ``bytes`` are JPEG and embed
+      VERBATIM as an ``/XObject /Image /Filter /DCTDecode`` (grayscale,
+      dims probed from the SOF marker); a ``("g4", w, h, bytes)`` tuple
+      embeds a CCITT Group 4 bilevel scan (``/Filter /CCITTFaxDecode``,
+      ``/DecodeParms << /K -1 /Columns w /Rows h /BlackIs1 true >>``,
+      1 bit/component) — the two encodings real scanned PDFs carry.
+      Either way the image paints via ``cm``+``Do`` before the text —
       the scanned-page layout the reference's OCR path consumes
       (pdfextraction.py:16).  ``extract_pdf_images`` returns the
-      embedded bytes bit-exactly.
+      embedded bytes bit-exactly plus the resolved ``/DecodeParms``.
     """
     if (use_objstm or predictor) and not xref_stream:
         raise ValueError("use_objstm/predictor require xref_stream")
@@ -741,7 +745,7 @@ def build_pdf(
                     + f"{cmap_id} 0 R".encode("ascii") + b" >>"
                 )
 
-    # ---- image XObjects: verbatim DCTDecode streams, one per page ----
+    # ---- image XObjects: verbatim DCTDecode / CCITT G4 streams ----
     img_info: list[tuple[int, int, int] | None] = [None] * n
     if images:
         for i, jb in enumerate(images[:n]):
@@ -749,13 +753,29 @@ def build_pdf(
                 continue
             iid = next_id
             next_id += 1
-            w, h = _jpeg_sof_dims(jb)
-            data = _protect(iid, jb)
-            objects[iid] = (
-                f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h}"
-                f" /ColorSpace /DeviceGray /BitsPerComponent 8"
-                f" /Filter /DCTDecode /Length {len(data)} >>"
-            ).encode("ascii")
+            if isinstance(jb, tuple):
+                # ("g4", width, height, t6_bytes): a CCITT Group 4 bilevel
+                # scan — what real document scanners embed; BlackIs1 true
+                # matches the codec's 1=ink convention (PDF default is 0=ink)
+                kind, w, h, payload = jb
+                if kind != "g4":
+                    raise ValueError(f"build_pdf: unknown image kind {kind!r}")
+                data = _protect(iid, payload)
+                objects[iid] = (
+                    f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h}"
+                    f" /ColorSpace /DeviceGray /BitsPerComponent 1"
+                    f" /Filter /CCITTFaxDecode /DecodeParms << /K -1"
+                    f" /Columns {w} /Rows {h} /BlackIs1 true >>"
+                    f" /Length {len(data)} >>"
+                ).encode("ascii")
+            else:
+                w, h = _jpeg_sof_dims(jb)
+                data = _protect(iid, jb)
+                objects[iid] = (
+                    f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h}"
+                    f" /ColorSpace /DeviceGray /BitsPerComponent 8"
+                    f" /Filter /DCTDecode /Length {len(data)} >>"
+                ).encode("ascii")
             streams[iid] = data
             img_info[i] = (iid, w, h)
 
@@ -2400,6 +2420,7 @@ def extract_pdf_images(data: bytes) -> list[list[dict]]:
                     and isinstance(ref, _Ref)
                 ):
                     continue
+                parms = doc.resolve(o.get("DecodeParms"))
                 imgs.append(
                     {
                         "name": str(name),
@@ -2407,6 +2428,13 @@ def extract_pdf_images(data: bytes) -> list[list[dict]]:
                         "height": int(doc.resolve(o.get("Height", 0))),
                         "filter": str(doc.resolve(o.get("Filter", ""))),
                         "colorspace": str(doc.resolve(o.get("ColorSpace", ""))),
+                        # resolved filter parameters (e.g. CCITT /K /Columns
+                        # /Rows /BlackIs1) — a consumer needs them to decode
+                        "decode_parms": (
+                            {str(k): doc.resolve(v) for k, v in parms.items()}
+                            if isinstance(parms, dict)
+                            else None
+                        ),
                         "data": doc.raw_stream_bytes(ref.num),
                     }
                 )

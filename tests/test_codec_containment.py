@@ -30,7 +30,11 @@ from pdf_extraction_spark.operators.multimodal import (
     synth_png_bytes,
     synth_png_interlaced_bytes,
 )
-from pdf_extraction_spark.operators.tiff import parse_tiff, synth_tiff_bytes
+from pdf_extraction_spark.operators.tiff import (
+    parse_tiff,
+    synth_tiff_bytes,
+    synth_tiff_g4_bytes,
+)
 
 CODECS = [
     ("png", synth_png_bytes, parse_png),
@@ -41,6 +45,7 @@ CODECS = [
     ("jpeg_progressive", synth_jpeg_progressive_bytes, parse_jpeg),
     ("jpeg_meta", synth_jpeg_mixed_bytes, jpeg_dimensions),
     ("tiff", synth_tiff_bytes, parse_tiff),
+    ("tiff_g4", synth_tiff_g4_bytes, parse_tiff),
     ("ico", synth_ico_bytes, parse_ico),
     ("mp4", synth_mp4_bytes, probe_mp4),
     ("mp3", synth_mp3_bytes, probe_mp3),

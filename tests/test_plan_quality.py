@@ -113,6 +113,7 @@ def test_codec_entries_are_single_pass_no_shuffle(spark):
         "multimodal_gif_animated",
         "extract_pdf_encrypted",
         "multimodal_tiff_decode",
+        "multimodal_tiff_g4",
         "extract_docx_text",
         "multimodal_ico_decode",
         "multimodal_mp4_meta",
