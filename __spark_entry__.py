@@ -2215,15 +2215,17 @@ def q_multimodal_tiff_g4(spark, sf_dir):
     """REAL CCITT Group 4 (ITU-T T.6 / MMR) decode inside TIFF — the
     compression real document scanners emit (round-5, NEW — parked in
     all_queries(); the driver snapshot is already taken this round):
-    bilevel Compression=4 files (PhotometricInterpretation 0, 1
-    bit/sample, strips of 3 rows so multi-strip assembly and a partial
-    last strip occur, II/MM by parity) whose T.6 streams the
-    from-scratch codec in operators/ccitt.py decodes — pass /
-    horizontal / vertical coding against the reference line, T.4
-    white/black run alphabets, EOFB.  Pixels are ink iff their shared
-    md5-formula byte >= 128, so the DuckDB twin replays the exact
-    bilevel image analytically: any mode-coding, run-table, strip, or
-    IFD defect breaks the value hash."""
+    bilevel files (PhotometricInterpretation 0, 1 bit/sample, strips
+    of 3 rows so multi-strip assembly and a partial last strip occur,
+    II/MM by parity): Compression=4 T.6 streams — pass / horizontal /
+    vertical coding against the reference line, T.4 white/black run
+    alphabets, EOFB — except every 5th id, which is Compression=2
+    Modified Huffman (T.4 1-D, byte-aligned rows), both decoded by the
+    from-scratch codec in operators/ccitt.py.  Pixels are ink iff
+    their shared md5-formula byte >= 128, so the DuckDB twin replays
+    the exact bilevel image analytically (compression-invariant by
+    construction): any mode-coding, run-table, strip, or IFD defect
+    breaks the value hash."""
     from pdf_extraction_spark.operators.tiff import decode_tiff, synth_tiff_g4
 
     d = _load(spark, sf_dir, "documents").select("doc_id")

@@ -138,6 +138,10 @@ class _BitWriter:
                 self._acc = 0
                 self._nbits = 0
 
+    def pad_to_byte(self) -> None:
+        while self._nbits:
+            self.write("0")
+
     def getvalue(self) -> bytes:
         if self._nbits:
             # pad the final byte with 0 bits (spec: fill bits are 0)
@@ -362,6 +366,52 @@ def g4_decode(
                 color ^= 1
         rows.append(bytes(row))
         ref = _changes(bytes(row))
+    return rows
+
+
+def mh_encode(rows: list[bytes], width: int) -> bytes:
+    """Encode rows as Modified Huffman (T.4 one-dimensional) in the
+    TIFF Compression=2 shape: pure run-length lines — white first, a
+    zero-length white run when a row starts black — with NO EOL codes
+    and every row starting on a byte boundary (TIFF 6.0 §10)."""
+    w = _BitWriter()
+    for row in rows:
+        if len(row) != width:
+            raise ValueError("ccitt: row width mismatch")
+        color = 0
+        pos = 0
+        changes = _changes(row) + [width]
+        for nxt in changes:
+            _write_run(w, nxt - pos, color)
+            pos = nxt
+            color ^= 1
+        w.pad_to_byte()
+    return w.getvalue()
+
+
+def mh_decode(data: bytes, width: int, height: int) -> list[bytes]:
+    """Decode TIFF-Compression=2 Modified Huffman lines: alternating
+    white/black T.4 runs that must total exactly ``width`` per row,
+    each row byte-aligned.  Raises ValueError on malformed input."""
+    if width <= 0 or height <= 0:
+        raise ValueError("ccitt: bad geometry")
+    r = _BitReader(data)
+    rows: list[bytes] = []
+    for _ in range(height):
+        r.align()
+        row = bytearray(width)
+        color = 0
+        pos = 0
+        while pos < width:
+            run = _read_run(r, _BLACK_DEC if color else _WHITE_DEC)
+            if pos + run > width:
+                raise ValueError("ccitt: run past row end")
+            if color:
+                for i in range(pos, pos + run):
+                    row[i] = 1
+            pos += run
+            color ^= 1
+        rows.append(bytes(row))
     return rows
 
 

@@ -30,7 +30,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-from pdf_extraction_spark.operators.ccitt import g4_decode, g4_encode
+from pdf_extraction_spark.operators.ccitt import (
+    g4_decode,
+    g4_encode,
+    mh_decode,
+    mh_encode,
+)
 from pdf_extraction_spark.pdf_parse import _pdf_lzw_decode, _pdf_lzw_encode
 
 # the IFD tags baseline RGB needs
@@ -169,10 +174,11 @@ def parse_tiff(raw: bytes):
         or not rps
     ):
         return None
-    if comp == 4:
-        # CCITT Group 4 bilevel — what real scanners emit.  Fax sense only
-        # (PhotometricInterpretation 0 = WhiteIsZero, the T.6 convention);
-        # each strip is an independent T.6 block per the TIFF 6.0 G4 spec.
+    if comp in (2, 4):
+        # CCITT bilevel — what real scanners emit: Group 4 (T.6, comp 4)
+        # or Modified Huffman (T.4 1-D, comp 2).  Fax sense only
+        # (PhotometricInterpretation 0 = WhiteIsZero); each strip is an
+        # independent coding block per TIFF 6.0.
         if spp != 1 or bps != [1] or one(_T_PHOTOMETRIC, 0) != 0 or predictor != 1:
             return None
         rows = []
@@ -183,7 +189,8 @@ def parse_tiff(raw: bytes):
             if nrows <= 0:
                 return None
             try:
-                bilevel = g4_decode(raw[soff : soff + scnt], w, nrows)
+                decode = g4_decode if comp == 4 else mh_decode
+                bilevel = decode(raw[soff : soff + scnt], w, nrows)
             except ValueError:
                 return None
             if len(bilevel) != nrows:
@@ -355,24 +362,29 @@ def _tiff_g4_row(media_id: int, j: int, w: int) -> bytes:
 
 
 def synth_tiff_g4_bytes(media_id: int) -> bytes:
-    """A spec-shaped CCITT Group 4 bilevel TIFF (Compression=4,
-    PhotometricInterpretation=0 WhiteIsZero, BitsPerSample=1) — the
-    format real document scanners emit.  Byte order II/MM by parity;
-    strips of 3 rows so multi-strip assembly and a partial last strip
-    occur, each strip an independent T.6 block per TIFF 6.0."""
+    """A spec-shaped CCITT bilevel TIFF (PhotometricInterpretation=0
+    WhiteIsZero, BitsPerSample=1) — the formats real document scanners
+    emit: Compression=4 (Group 4 / T.6) except every 5th id, which is
+    Compression=2 (Modified Huffman, T.4 1-D with byte-aligned rows).
+    Byte order II/MM by parity; strips of 3 rows so multi-strip
+    assembly and a partial last strip occur, each strip an independent
+    coding block per TIFF 6.0.  The decoded pixels are identical across
+    compressions (the shared md5 formula), so the analytic oracle is
+    compression-invariant by construction."""
     w, h = _tiff_g4_dims(media_id)
     bo = "little" if media_id % 2 == 0 else "big"
+    comp = 2 if media_id % 5 == 4 else 4
     rps = 3
     strips = []
     for s in range((h + rps - 1) // rps):
         nrows = min(rps, h - s * rps)
         rows = [_tiff_g4_row(media_id, s * rps + j, w) for j in range(nrows)]
-        strips.append(g4_encode(rows, w))
+        strips.append((g4_encode if comp == 4 else mh_encode)(rows, w))
     entries = [
         (_T_WIDTH, 3, [w]),
         (_T_HEIGHT, 3, [h]),
         (_T_BPS, 3, [1]),
-        (_T_COMPRESSION, 3, [4]),
+        (_T_COMPRESSION, 3, [comp]),
         (_T_PHOTOMETRIC, 3, [0]),  # WhiteIsZero — the fax convention
         (_T_STRIP_OFFSETS, 4, [0] * len(strips)),
         (_T_SPP, 3, [1]),

@@ -137,6 +137,73 @@ def test_roundtrip_fuzz(data):
     assert g4_decode(enc, w, h) == rows
 
 
+# --- Modified Huffman (T.4 1-D, TIFF Compression=2) --------------------------
+
+
+def test_mh_roundtrip_and_alignment():
+    from pdf_extraction_spark.operators.ccitt import mh_decode, mh_encode
+
+    rows = [
+        bytes(17),  # all white
+        b"\x01" * 17,  # all black (needs the zero-length white lead run)
+        bytes([i % 2 for i in range(17)]),
+        bytes(3) + b"\x01" * 10 + bytes(4),
+    ]
+    enc = mh_encode(rows, 17)
+    assert mh_decode(enc, 17, 4) == rows
+    # every row starts on a byte boundary (TIFF 6.0 §10): encoding rows
+    # separately and concatenating gives the identical stream
+    parts = b"".join(mh_encode([r], 17) for r in rows)
+    assert parts == enc
+
+
+def test_mh_wire_pin():
+    """All-black line of 2 px = white-0 (00110101) then black-2 (11)."""
+    from pdf_extraction_spark.operators.ccitt import mh_encode
+
+    bits = "".join(f"{b:08b}" for b in mh_encode([b"\x01\x01"], 2))
+    assert bits.startswith("00110101" + "11")
+
+
+def test_mh_containment():
+    from pdf_extraction_spark.operators.ccitt import mh_decode
+
+    with pytest.raises(ValueError):
+        mh_decode(b"", 8, 1)  # truncated
+    with pytest.raises(ValueError):
+        mh_decode(b"\xff\xff\xff", 4, 1)  # runs overshoot the row
+    rng = random.Random(99)
+    for _ in range(60):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 60)))
+        try:
+            rows = mh_decode(blob, 16, 3)
+            assert all(len(r) == 16 for r in rows)
+        except ValueError:
+            pass
+
+
+def test_tiff_mh_variant_ids_decode_identically():
+    """Every 5th id is Compression=2; pixels must match the formula
+    exactly like the G4 ids (the oracle is compression-invariant)."""
+    from pdf_extraction_spark.operators.tiff import (
+        _tiff_g4_dims,
+        _tiff_g4_row,
+        parse_tiff,
+        synth_tiff_g4_bytes,
+    )
+
+    for mid in (4, 9, 14):
+        blob = synth_tiff_g4_bytes(mid)
+        w, h, rows = parse_tiff(blob)
+        assert (w, h) == _tiff_g4_dims(mid)
+        for j, row in enumerate(rows):
+            want = b"".join(
+                b"\x00\x00\x00" if px else b"\xff\xff\xff"
+                for px in _tiff_g4_row(mid, j, w)
+            )
+            assert row == want
+
+
 # --- wire-format pin ---------------------------------------------------------
 
 
