@@ -12,7 +12,13 @@ PDFs) to the mixed corpus the rest of this engine's sources produce.
 Dispatch table (first match wins):
 
   %PDF-            -> pdf_parse.extract_pdf_pages (text layer, fonts,
-                      encryption — the full round-5 parser)
+                      encryption — the full round-5 parser); when the
+                      text layer is EMPTY and the pages carry image
+                      XObjects, the scanned-PDF OCR fallback runs
+                      (doc_type "pdf_scanned": decode DCTDecode/
+                      CCITTFaxDecode images, template OCR — the
+                      reference's no-text-layer dataflow, honest scope
+                      in _ocr_scanned_pdf)
   PK\\x03\\x04     -> DOCX vs EPUB disambiguated by package content
                       (word/document.xml vs META-INF/container.xml);
                       other zips -> type "zip", no text
@@ -95,13 +101,73 @@ def sniff_doc_type(raw: bytes) -> str:
         return "binary"
 
 
+def _ocr_scanned_pdf(raw: bytes) -> str | None:
+    """OCR fallback for image-only PDFs — the reference's scanned-page
+    dataflow (pdfextraction.py:16,72-73 rasterizes and OCRs pages with
+    no text layer).  Decodes each page's embedded image (DCTDecode via
+    the in-repo JPEG codec, CCITTFaxDecode via the T.6/MH codec) and
+    runs the template OCR.  HONEST SCOPE (same contract as
+    operators/ocr.py): the template matcher recognizes the repo's own
+    8x8 bitmap font on the 128x64 page grid — the full
+    render->compress->embed->decode->recognize dataflow over documents
+    this engine produced; general OCR of arbitrary scans remains
+    env-blocked (no tesseract).  Off-grid or undecodable images are
+    skipped; returns None when nothing was recovered."""
+    import numpy as np
+
+    from pdf_extraction_spark.operators.ccitt import g4_decode
+    from pdf_extraction_spark.operators.jpeg import parse_jpeg
+    from pdf_extraction_spark.operators.ocr import ocr_page
+    from pdf_extraction_spark.pdf_parse import extract_pdf_images
+
+    texts = []
+    for page in extract_pdf_images(raw):
+        for im in page:
+            gray = None
+            if im["filter"] == "DCTDecode":
+                decoded = parse_jpeg(im["data"])
+                if decoded is not None:
+                    gray = decoded[3][:, :, 0]
+            elif im["filter"] == "CCITTFaxDecode":
+                parms = im["decode_parms"] or {}
+                if int(parms.get("K", 0)) < 0:
+                    try:
+                        rows = g4_decode(
+                            im["data"],
+                            int(parms.get("Columns", 1728)),
+                            int(parms.get("Rows", 0)) or None,
+                        )
+                    except ValueError:
+                        rows = None
+                    if rows:
+                        # the codec returns semantic ink=1 regardless of
+                        # /BlackIs1 (which only maps OUTPUT bit values)
+                        gray = np.where(
+                            np.frombuffer(b"".join(rows), np.uint8).reshape(
+                                len(rows), -1
+                            ),
+                            0,
+                            255,
+                        ).astype(np.uint8)
+            if gray is not None and gray.shape == (64, 128):  # the template grid
+                t = ocr_page(gray)
+                if t:
+                    texts.append(t)
+    return "\n".join(texts) if texts else None
+
+
 def extract_any(raw: bytes) -> tuple[str, str | None]:
     """(doc_type, extracted_text_or_None) for one blob."""
     t = sniff_doc_type(raw)
     if t == "pdf":
         from pdf_extraction_spark.pdf_parse import extract_pdf_pages
 
-        return t, "\n".join(extract_pdf_pages(raw))
+        text = "\n".join(extract_pdf_pages(raw))
+        if not text.strip():
+            ocr = _ocr_scanned_pdf(raw)
+            if ocr is not None:
+                return "pdf_scanned", ocr
+        return t, text
     if t == "docx":
         from pdf_extraction_spark.operators.docx_text import (
             extract_docx_paragraphs,

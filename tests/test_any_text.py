@@ -70,6 +70,38 @@ _doc_text = st.text(
 ).filter(lambda s: s.strip() and not s.lstrip().startswith("<"))
 
 
+def test_scanned_pdf_ocr_fallback():
+    """Image-only PDFs route through the OCR fallback (the reference's
+    no-text-layer dataflow): both scanned encodings, incl. encrypted;
+    undecodable images and text-layer PDFs keep their plain routing."""
+    from pdf_extraction_spark.operators.ccitt import g4_encode
+    from pdf_extraction_spark.operators.ocr import render_page, sanitize_text
+
+    text = "Scanned memo 7\nAmount: 12.34"
+    want = sanitize_text(text)[:128]
+    raster = render_page(sanitize_text(text))
+    rows = [bytes(1 if v < 128 else 0 for v in raster[j]) for j in range(64)]
+
+    assert extract_any(build_pdf([""], images=[encode_baseline_jpeg(raster)])) == (
+        "pdf_scanned",
+        want,
+    )
+    assert extract_any(
+        build_pdf(
+            [""], images=[("g4", 128, 64, g4_encode(rows, 128))], encrypt="aes-128"
+        )
+    ) == ("pdf_scanned", want)
+    # text layer present -> no OCR, plain pdf routing
+    assert extract_any(build_pdf(["hello world"])) == ("pdf", "hello world")
+    # undecodable embedded image -> contained: stays pdf with empty text
+    t, out = extract_any(build_pdf([""], images=[("g4", 128, 64, b"\xde\xad")]))
+    assert (t, out) == ("pdf", "")
+    # off-grid image (not the 128x64 template canvas): honest-scope skip
+    small = np.full((16, 16), 255, np.uint8)
+    t, out = extract_any(build_pdf([""], images=[encode_baseline_jpeg(small)]))
+    assert (t, out) == ("pdf", "")
+
+
 @settings(max_examples=60, deadline=None)
 @given(_doc_text, st.sampled_from(["pdf", "docx", "epub", "text"]))
 def test_property_routing_identity(text, fmt):
