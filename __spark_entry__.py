@@ -2217,15 +2217,18 @@ def q_multimodal_tiff_g4(spark, sf_dir):
     all_queries(); the driver snapshot is already taken this round):
     bilevel files (PhotometricInterpretation 0, 1 bit/sample, strips
     of 3 rows so multi-strip assembly and a partial last strip occur,
-    II/MM by parity): Compression=4 T.6 streams — pass / horizontal /
-    vertical coding against the reference line, T.4 white/black run
-    alphabets, EOFB — except every 5th id, which is Compression=2
-    Modified Huffman (T.4 1-D, byte-aligned rows), both decoded by the
-    from-scratch codec in operators/ccitt.py.  Pixels are ink iff
-    their shared md5-formula byte >= 128, so the DuckDB twin replays
-    the exact bilevel image analytically (compression-invariant by
-    construction): any mode-coding, run-table, strip, or IFD defect
-    breaks the value hash."""
+    II/MM by parity) cycling the FULL fax family by id % 5:
+    Compression=4 T.6 streams — pass / horizontal / vertical coding
+    against the reference line, T.4 white/black run alphabets, EOFB —
+    plus Compression=3 Group 3 (EOL-framed T.4, both pure 1-D and the
+    mixed 2-D scheme with per-line tag bits and K=2, per T4Options)
+    and Compression=2 bare Modified Huffman (byte-aligned rows), all
+    decoded by the from-scratch codec in operators/ccitt.py.  Pixels
+    are ink iff their shared md5-formula byte >= 128, so the DuckDB
+    twin replays the exact bilevel image analytically
+    (compression-invariant by construction): any mode-coding,
+    run-table, EOL-framing, strip, or IFD defect breaks the value
+    hash."""
     from pdf_extraction_spark.operators.tiff import decode_tiff, synth_tiff_g4
 
     d = _load(spark, sf_dir, "documents").select("doc_id")

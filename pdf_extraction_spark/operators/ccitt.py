@@ -240,6 +240,55 @@ def _b1_b2(ref_changes: list[int], a0: int, color: int, width: int) -> tuple[int
 # --- public API ----------------------------------------------------------------
 
 
+def _encode_row_2d(w: _BitWriter, row: bytes, ref: list[int], width: int) -> None:
+    """One line of T.4/T.6 two-dimensional coding against ``ref``
+    (shared verbatim by G4 and G3-2D — the mode alphabet is the same)."""
+    cur = _changes(row)
+    a0 = -1
+    color = 0
+    ci = 0  # index into cur of the next changing element > a0
+    while a0 < width:
+        a1 = cur[ci] if ci < len(cur) else width
+        b1, b2 = _b1_b2(ref, a0, color, width)
+        if b2 < a1:
+            w.write(_MODE_P)
+            a0 = b2
+            # colour unchanged; ci unchanged (a1 still next change)
+        elif abs(a1 - b1) <= 3:
+            d = a1 - b1
+            if d == 0:
+                w.write(_MODE_V0)
+            elif d > 0:
+                w.write(_MODE_VR[d])
+            else:
+                w.write(_MODE_VL[-d])
+            a0 = a1
+            color ^= 1
+            ci += 1
+        else:
+            a2 = cur[ci + 1] if ci + 1 < len(cur) else width
+            w.write(_MODE_H)
+            start = max(a0, 0)
+            _write_run(w, a1 - start, color)
+            _write_run(w, a2 - a1, color ^ 1)
+            a0 = a2
+            ci += 2
+            # colour unchanged after the two runs
+        if a0 >= width:
+            break
+
+
+def _encode_row_1d(w: _BitWriter, row: bytes, width: int) -> None:
+    """One T.4 one-dimensional line: alternating white/black runs (a
+    zero-length white lead when the row starts black)."""
+    color = 0
+    pos = 0
+    for nxt in _changes(row) + [width]:
+        _write_run(w, nxt - pos, color)
+        pos = nxt
+        color ^= 1
+
+
 def g4_encode(rows: list[bytes], width: int) -> bytes:
     """Encode rows of 0x00/0x01 pixels as T.6 (G4/MMR) bits with EOFB."""
     for r_ in rows:
@@ -248,40 +297,8 @@ def g4_encode(rows: list[bytes], width: int) -> bytes:
     w = _BitWriter()
     ref: list[int] = []  # imaginary all-white line: no changing elements
     for row in rows:
-        cur = _changes(row)
-        a0 = -1
-        color = 0
-        ci = 0  # index into cur of the next changing element > a0
-        while a0 < width:
-            a1 = cur[ci] if ci < len(cur) else width
-            b1, b2 = _b1_b2(ref, a0, color, width)
-            if b2 < a1:
-                w.write(_MODE_P)
-                a0 = b2
-                # colour unchanged; ci unchanged (a1 still next change)
-            elif abs(a1 - b1) <= 3:
-                d = a1 - b1
-                if d == 0:
-                    w.write(_MODE_V0)
-                elif d > 0:
-                    w.write(_MODE_VR[d])
-                else:
-                    w.write(_MODE_VL[-d])
-                a0 = a1
-                color ^= 1
-                ci += 1
-            else:
-                a2 = cur[ci + 1] if ci + 1 < len(cur) else width
-                w.write(_MODE_H)
-                start = max(a0, 0)
-                _write_run(w, a1 - start, color)
-                _write_run(w, a2 - a1, color ^ 1)
-                a0 = a2
-                ci += 2
-                # colour unchanged after the two runs
-            if a0 >= width:
-                break
-        ref = cur
+        _encode_row_2d(w, row, ref, width)
+        ref = _changes(row)
     w.write(_EOL)
     w.write(_EOL)
     return w.getvalue()
@@ -329,44 +346,69 @@ def g4_decode(
             break
         if _peek_eofb(r):
             break
-        row = bytearray(width)
-        a0 = -1
-        color = 0
-        while a0 < width:
-            mode = _read_mode(r)
-            b1, b2 = _b1_b2(ref, a0, color, width)
-            if mode == "P":
-                if color:
-                    for i in range(max(a0, 0), b2):
-                        row[i] = 1
-                a0 = b2
-            elif mode == "H":
-                start = max(a0, 0)
-                run1 = _read_run(r, _BLACK_DEC if color else _WHITE_DEC)
-                run2 = _read_run(r, _WHITE_DEC if color else _BLACK_DEC)
-                a1 = start + run1
-                a2 = a1 + run2
-                if a2 > width:
-                    raise ValueError("ccitt: run past row end")
-                if color:
-                    for i in range(start, a1):
-                        row[i] = 1
-                else:
-                    for i in range(a1, a2):
-                        row[i] = 1
-                a0 = a2
-            else:  # vertical mode, mode is the signed offset as int
-                a1 = b1 + mode
-                if a1 < 0 or a1 > width:
-                    raise ValueError("ccitt: vertical move out of range")
-                if color:
-                    for i in range(max(a0, 0), a1):
-                        row[i] = 1
-                a0 = a1
-                color ^= 1
-        rows.append(bytes(row))
-        ref = _changes(bytes(row))
+        row = _decode_row_2d(r, ref, width)
+        rows.append(row)
+        ref = _changes(row)
     return rows
+
+
+def _decode_row_2d(r: _BitReader, ref: list[int], width: int) -> bytes:
+    """Decode one two-dimensionally-coded line against ``ref`` (shared
+    by G4 and G3-2D — the mode alphabet is the same)."""
+    row = bytearray(width)
+    a0 = -1
+    color = 0
+    while a0 < width:
+        mode = _read_mode(r)
+        b1, b2 = _b1_b2(ref, a0, color, width)
+        if mode == "P":
+            if color:
+                for i in range(max(a0, 0), b2):
+                    row[i] = 1
+            a0 = b2
+        elif mode == "H":
+            start = max(a0, 0)
+            run1 = _read_run(r, _BLACK_DEC if color else _WHITE_DEC)
+            run2 = _read_run(r, _WHITE_DEC if color else _BLACK_DEC)
+            a1 = start + run1
+            a2 = a1 + run2
+            if a2 > width:
+                raise ValueError("ccitt: run past row end")
+            if color:
+                for i in range(start, a1):
+                    row[i] = 1
+            else:
+                for i in range(a1, a2):
+                    row[i] = 1
+            a0 = a2
+        else:  # vertical mode, mode is the signed offset as int
+            a1 = b1 + mode
+            if a1 < 0 or a1 > width:
+                raise ValueError("ccitt: vertical move out of range")
+            if color:
+                for i in range(max(a0, 0), a1):
+                    row[i] = 1
+            a0 = a1
+            color ^= 1
+    return bytes(row)
+
+
+def _decode_row_1d(r: _BitReader, width: int) -> bytes:
+    """Decode one T.4 one-dimensional line: alternating white/black
+    runs that must total exactly ``width``."""
+    row = bytearray(width)
+    color = 0
+    pos = 0
+    while pos < width:
+        run = _read_run(r, _BLACK_DEC if color else _WHITE_DEC)
+        if pos + run > width:
+            raise ValueError("ccitt: run past row end")
+        if color:
+            for i in range(pos, pos + run):
+                row[i] = 1
+        pos += run
+        color ^= 1
+    return bytes(row)
 
 
 def mh_encode(rows: list[bytes], width: int) -> bytes:
@@ -378,13 +420,7 @@ def mh_encode(rows: list[bytes], width: int) -> bytes:
     for row in rows:
         if len(row) != width:
             raise ValueError("ccitt: row width mismatch")
-        color = 0
-        pos = 0
-        changes = _changes(row) + [width]
-        for nxt in changes:
-            _write_run(w, nxt - pos, color)
-            pos = nxt
-            color ^= 1
+        _encode_row_1d(w, row, width)
         w.pad_to_byte()
     return w.getvalue()
 
@@ -399,20 +435,93 @@ def mh_decode(data: bytes, width: int, height: int) -> list[bytes]:
     rows: list[bytes] = []
     for _ in range(height):
         r.align()
-        row = bytearray(width)
-        color = 0
-        pos = 0
-        while pos < width:
-            run = _read_run(r, _BLACK_DEC if color else _WHITE_DEC)
-            if pos + run > width:
-                raise ValueError("ccitt: run past row end")
-            if color:
-                for i in range(pos, pos + run):
-                    row[i] = 1
-            pos += run
-            color ^= 1
-        rows.append(bytes(row))
+        rows.append(_decode_row_1d(r, width))
     return rows
+
+
+def g3_encode(
+    rows: list[bytes], width: int, *, two_d: bool = False, k: int = 2
+) -> bytes:
+    """Encode rows as Group 3 (Rec. T.4): an EOL before every line and a
+    six-EOL RTC after the last.  ``two_d=False`` is pure 1-D (every line
+    run-length coded).  ``two_d=True`` is the mixed T.4 2-D scheme: each
+    EOL carries a tag bit (1 = the next line is 1-D, 0 = 2-D) and every
+    ``k``-th line is coded 1-D — the K-factor error-confinement real fax
+    machines use — with the lines between coded 2-D against their
+    predecessor using the same mode alphabet as G4."""
+    if k < 1:
+        raise ValueError("ccitt: bad K factor")
+    w = _BitWriter()
+    ref: list[int] = []
+    for idx, row in enumerate(rows):
+        if len(row) != width:
+            raise ValueError("ccitt: row width mismatch")
+        w.write(_EOL)
+        one_d = (idx % k == 0) if two_d else True
+        if two_d:
+            w.write("1" if one_d else "0")
+        if one_d:
+            _encode_row_1d(w, row, width)
+        else:
+            _encode_row_2d(w, row, ref, width)
+        ref = _changes(row)
+    for _ in range(6):  # RTC
+        w.write(_EOL)
+        if two_d:
+            w.write("1")
+    return w.getvalue()
+
+
+def g3_decode(
+    data: bytes, width: int, height: int | None = None, *, two_d: bool = False
+) -> list[bytes]:
+    """Decode Group 3 lines (EOL-framed 1-D, or mixed 2-D when
+    ``two_d``).  Stops at ``height`` rows, the RTC, or data exhaustion;
+    raises ValueError on malformed framing or codes."""
+    if width <= 0:
+        raise ValueError("ccitt: bad width")
+    if height is not None and height <= 0:
+        raise ValueError("ccitt: bad height")
+    r = _BitReader(data)
+    rows: list[bytes] = []
+    max_rows = height if height is not None else 1 << 20
+    while len(rows) < max_rows:
+        if not _seek_eol(r):
+            break  # data exhausted cleanly
+        one_d = True
+        if two_d:
+            one_d = r.read_bit() == 1
+        if _peek_eol(r):
+            break  # consecutive EOL = RTC
+        rows.append(
+            _decode_row_1d(r, width) if one_d else _decode_row_2d(r, rows and _changes(rows[-1]) or [], width)
+        )
+    return rows
+
+
+def _seek_eol(r: _BitReader) -> bool:
+    """Consume fill zeros and one EOL (>=11 zeros then a 1).  False when
+    the data ends first; ValueError on a stray 1 inside the framing."""
+    zeros = 0
+    while True:
+        if r.bits_left() <= 0:
+            return False
+        if r.read_bit():
+            if zeros >= 11:
+                return True
+            raise ValueError("ccitt: bad EOL framing")
+        zeros += 1
+
+
+def _peek_eol(r: _BitReader) -> bool:
+    """True if the next 12 bits are exactly an EOL (position restored)."""
+    save = r.pos
+    try:
+        ok = all(r.read_bit() == (c == "1") for c in _EOL)
+    except ValueError:
+        ok = True  # only fill bits remain
+    r.pos = save
+    return ok
 
 
 def _read_mode(r: _BitReader):

@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from pdf_extraction_spark.operators.ccitt import (
+    g3_decode,
+    g3_encode,
     g4_decode,
     g4_encode,
     mh_decode,
@@ -44,6 +46,7 @@ from pdf_extraction_spark.operators.balance import rebalance_if_undersplit
 _T_WIDTH, _T_HEIGHT, _T_BPS, _T_COMPRESSION = 256, 257, 258, 259
 _T_PHOTOMETRIC, _T_STRIP_OFFSETS, _T_SPP = 262, 273, 277
 _T_ROWS_PER_STRIP, _T_STRIP_COUNTS, _T_PREDICTOR = 278, 279, 317
+_T_T4OPTIONS = 292  # bit 0: the strip's G3 lines use the 2-D scheme
 
 
 def packbits_decode(data: bytes, expect: int) -> bytes | None:
@@ -174,13 +177,15 @@ def parse_tiff(raw: bytes):
         or not rps
     ):
         return None
-    if comp in (2, 4):
-        # CCITT bilevel — what real scanners emit: Group 4 (T.6, comp 4)
-        # or Modified Huffman (T.4 1-D, comp 2).  Fax sense only
-        # (PhotometricInterpretation 0 = WhiteIsZero); each strip is an
-        # independent coding block per TIFF 6.0.
+    if comp in (2, 3, 4):
+        # CCITT bilevel — what real scanners emit: Group 4 (T.6, comp 4),
+        # Group 3 (T.4 EOL-framed, comp 3, 1-D or 2-D per T4Options
+        # bit 0), or Modified Huffman (bare T.4 1-D, comp 2).  Fax sense
+        # only (PhotometricInterpretation 0 = WhiteIsZero); each strip is
+        # an independent coding block per TIFF 6.0.
         if spp != 1 or bps != [1] or one(_T_PHOTOMETRIC, 0) != 0 or predictor != 1:
             return None
+        t4_2d = bool(one(_T_T4OPTIONS, 0) & 1)
         rows = []
         for s, (soff, scnt) in enumerate(zip(offsets, counts)):
             if soff + scnt > len(raw):
@@ -189,8 +194,13 @@ def parse_tiff(raw: bytes):
             if nrows <= 0:
                 return None
             try:
-                decode = g4_decode if comp == 4 else mh_decode
-                bilevel = decode(raw[soff : soff + scnt], w, nrows)
+                chunk = raw[soff : soff + scnt]
+                if comp == 4:
+                    bilevel = g4_decode(chunk, w, nrows)
+                elif comp == 3:
+                    bilevel = g3_decode(chunk, w, nrows, two_d=t4_2d)
+                else:
+                    bilevel = mh_decode(chunk, w, nrows)
             except ValueError:
                 return None
             if len(bilevel) != nrows:
@@ -363,23 +373,32 @@ def _tiff_g4_row(media_id: int, j: int, w: int) -> bytes:
 
 def synth_tiff_g4_bytes(media_id: int) -> bytes:
     """A spec-shaped CCITT bilevel TIFF (PhotometricInterpretation=0
-    WhiteIsZero, BitsPerSample=1) — the formats real document scanners
-    emit: Compression=4 (Group 4 / T.6) except every 5th id, which is
-    Compression=2 (Modified Huffman, T.4 1-D with byte-aligned rows).
-    Byte order II/MM by parity; strips of 3 rows so multi-strip
-    assembly and a partial last strip occur, each strip an independent
-    coding block per TIFF 6.0.  The decoded pixels are identical across
-    compressions (the shared md5 formula), so the analytic oracle is
-    compression-invariant by construction."""
+    WhiteIsZero, BitsPerSample=1) — the full fax family real document
+    scanners emit, cycling by id % 5: Compression=4 (Group 4 / T.6) for
+    0/3, Compression=3 Group 3 1-D (EOL-framed T.4) for 2, Group 3
+    mixed 2-D (T4Options bit 0, K=2) for 1, and Compression=2 (bare
+    Modified Huffman, byte-aligned rows) for 4.  Byte order II/MM by
+    parity; strips of 3 rows so multi-strip assembly and a partial last
+    strip occur, each strip an independent coding block per TIFF 6.0.
+    The decoded pixels are identical across compressions (the shared
+    md5 formula), so the analytic oracle is compression-invariant by
+    construction."""
     w, h = _tiff_g4_dims(media_id)
     bo = "little" if media_id % 2 == 0 else "big"
-    comp = 2 if media_id % 5 == 4 else 4
+    mode = media_id % 5
+    comp = {4: 2, 2: 3, 1: 3}.get(mode, 4)
+    two_d = mode == 1
     rps = 3
     strips = []
     for s in range((h + rps - 1) // rps):
         nrows = min(rps, h - s * rps)
         rows = [_tiff_g4_row(media_id, s * rps + j, w) for j in range(nrows)]
-        strips.append((g4_encode if comp == 4 else mh_encode)(rows, w))
+        if comp == 4:
+            strips.append(g4_encode(rows, w))
+        elif comp == 3:
+            strips.append(g3_encode(rows, w, two_d=two_d, k=2))
+        else:
+            strips.append(mh_encode(rows, w))
     entries = [
         (_T_WIDTH, 3, [w]),
         (_T_HEIGHT, 3, [h]),
@@ -391,6 +410,8 @@ def synth_tiff_g4_bytes(media_id: int) -> bytes:
         (_T_ROWS_PER_STRIP, 3, [rps]),
         (_T_STRIP_COUNTS, 4, [len(s) for s in strips]),
     ]
+    if comp == 3:
+        entries.append((_T_T4OPTIONS, 4, [1 if two_d else 0]))
     return _assemble_tiff(bo, entries, strips)
 
 

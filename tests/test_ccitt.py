@@ -204,6 +204,56 @@ def test_tiff_mh_variant_ids_decode_identically():
             assert row == want
 
 
+# --- Group 3 (T.4 EOL-framed, 1-D and mixed 2-D) -----------------------------
+
+
+def test_g3_roundtrips_all_modes():
+    from pdf_extraction_spark.operators.ccitt import g3_decode, g3_encode
+
+    rows = [
+        bytes(29),
+        b"\x01" * 29,
+        bytes([(i + 1) % 2 for i in range(29)]),
+        bytes(5) + b"\x01" * 20 + bytes(4),
+        bytes([i % 3 == 0 for i in range(29)]),
+    ]
+    for two_d, k in ((False, 1), (True, 2), (True, 4)):
+        enc = g3_encode(rows, 29, two_d=two_d, k=k)
+        assert g3_decode(enc, 29, 5, two_d=two_d) == rows
+        # RTC-terminated (height unknown)
+        assert g3_decode(enc, 29, None, two_d=two_d) == rows
+
+
+def test_g3_wire_pin():
+    """The stream opens with an EOL (000000000001); in 2-D mode the tag
+    bit follows (1 = first line coded 1-D)."""
+    from pdf_extraction_spark.operators.ccitt import g3_encode
+
+    bits = "".join(f"{b:08b}" for b in g3_encode([bytes(8)], 8))
+    assert bits.startswith("000000000001")
+    bits2 = "".join(f"{b:08b}" for b in g3_encode([bytes(8)], 8, two_d=True))
+    assert bits2.startswith("000000000001" + "1")
+
+
+def test_g3_framing_containment():
+    from pdf_extraction_spark.operators.ccitt import g3_decode
+
+    with pytest.raises(ValueError):
+        g3_decode(b"\xff\xff", 8, 1)  # stray 1 inside EOL framing
+    assert g3_decode(b"", 8, None) == []  # empty data: no lines, no error
+
+
+def test_g3_2d_lines_actually_2d_coded():
+    """With K=4 only every 4th line is 1-D; the 2-D lines must shrink
+    the stream vs pure 1-D on line-coherent content."""
+    from pdf_extraction_spark.operators.ccitt import g3_encode
+
+    rows = [bytes(10) + b"\x01" * 40 + bytes(150)] * 16  # identical lines
+    pure = g3_encode(rows, 200, two_d=False)
+    mixed = g3_encode(rows, 200, two_d=True, k=4)
+    assert len(mixed) < len(pure)
+
+
 # --- wire-format pin ---------------------------------------------------------
 
 
