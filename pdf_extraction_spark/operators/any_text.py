@@ -115,7 +115,7 @@ def _ocr_scanned_pdf(raw: bytes) -> str | None:
     skipped; returns None when nothing was recovered."""
     import numpy as np
 
-    from pdf_extraction_spark.operators.ccitt import g4_decode
+    from pdf_extraction_spark.operators.ccitt import g3_decode, g4_decode
     from pdf_extraction_spark.operators.jpeg import parse_jpeg
     from pdf_extraction_spark.operators.ocr import ocr_page
     from pdf_extraction_spark.pdf_parse import extract_pdf_images
@@ -130,25 +130,27 @@ def _ocr_scanned_pdf(raw: bytes) -> str | None:
                     gray = decoded[3][:, :, 0]
             elif im["filter"] == "CCITTFaxDecode":
                 parms = im["decode_parms"] or {}
-                if int(parms.get("K", 0)) < 0:
-                    try:
-                        rows = g4_decode(
-                            im["data"],
-                            int(parms.get("Columns", 1728)),
-                            int(parms.get("Rows", 0)) or None,
-                        )
-                    except ValueError:
-                        rows = None
-                    if rows:
-                        # the codec returns semantic ink=1 regardless of
-                        # /BlackIs1 (which only maps OUTPUT bit values)
-                        gray = np.where(
-                            np.frombuffer(b"".join(rows), np.uint8).reshape(
-                                len(rows), -1
-                            ),
-                            0,
-                            255,
-                        ).astype(np.uint8)
+                k = int(parms.get("K", 0))
+                cols = int(parms.get("Columns", 1728))
+                nrows = int(parms.get("Rows", 0)) or None
+                align = bool(parms.get("EncodedByteAlign", False))
+                try:
+                    if k < 0:
+                        rows = g4_decode(im["data"], cols, nrows, byte_align=align)
+                    else:
+                        rows = g3_decode(im["data"], cols, nrows, two_d=k > 0)
+                except ValueError:
+                    rows = None
+                if rows:
+                    # the codec returns semantic ink=1 regardless of
+                    # /BlackIs1 (which only maps OUTPUT bit values)
+                    gray = np.where(
+                        np.frombuffer(b"".join(rows), np.uint8).reshape(
+                            len(rows), -1
+                        ),
+                        0,
+                        255,
+                    ).astype(np.uint8)
             if gray is not None and gray.shape == (64, 128):  # the template grid
                 t = ocr_page(gray)
                 if t:

@@ -289,14 +289,18 @@ def _encode_row_1d(w: _BitWriter, row: bytes, width: int) -> None:
         color ^= 1
 
 
-def g4_encode(rows: list[bytes], width: int) -> bytes:
-    """Encode rows of 0x00/0x01 pixels as T.6 (G4/MMR) bits with EOFB."""
+def g4_encode(rows: list[bytes], width: int, byte_align: bool = False) -> bytes:
+    """Encode rows of 0x00/0x01 pixels as T.6 (G4/MMR) bits with EOFB.
+    ``byte_align`` starts every coded line on a byte boundary — the
+    layout PDF's ``/EncodedByteAlign true`` declares."""
     for r_ in rows:
         if len(r_) != width:
             raise ValueError("ccitt: row width mismatch")
     w = _BitWriter()
     ref: list[int] = []  # imaginary all-white line: no changing elements
     for row in rows:
+        if byte_align:
+            w.pad_to_byte()
         _encode_row_2d(w, row, ref, width)
         ref = _changes(row)
     w.write(_EOL)

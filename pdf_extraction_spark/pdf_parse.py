@@ -754,17 +754,20 @@ def build_pdf(
             iid = next_id
             next_id += 1
             if isinstance(jb, tuple):
-                # ("g4", width, height, t6_bytes): a CCITT Group 4 bilevel
-                # scan — what real document scanners embed; BlackIs1 true
-                # matches the codec's 1=ink convention (PDF default is 0=ink)
+                # ("g4"|"g3", width, height, bits): a CCITT bilevel scan —
+                # what real document scanners embed; "g4" is T.6 (/K -1),
+                # "g3" is EOL-framed T.4 1-D (/K 0).  BlackIs1 true
+                # matches the codec's 1=ink convention (PDF default is
+                # 0=ink).
                 kind, w, h, payload = jb
-                if kind != "g4":
+                if kind not in ("g4", "g3"):
                     raise ValueError(f"build_pdf: unknown image kind {kind!r}")
+                k_param = -1 if kind == "g4" else 0
                 data = _protect(iid, payload)
                 objects[iid] = (
                     f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h}"
                     f" /ColorSpace /DeviceGray /BitsPerComponent 1"
-                    f" /Filter /CCITTFaxDecode /DecodeParms << /K -1"
+                    f" /Filter /CCITTFaxDecode /DecodeParms << /K {k_param}"
                     f" /Columns {w} /Rows {h} /BlackIs1 true >>"
                     f" /Length {len(data)} >>"
                 ).encode("ascii")

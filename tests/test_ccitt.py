@@ -379,6 +379,40 @@ def test_pdf_g4_xobject_survives_encryption():
         assert im["data"] == payload, enc
 
 
+def test_g4_encoded_byte_align_roundtrip():
+    """/EncodedByteAlign layout: every line starts on a byte boundary;
+    a non-aligned read of the same bytes must NOT give the same rows
+    (proves the alignment actually changed the stream)."""
+    rows = [bytes([(i * 5 + j) % 2 for i in range(21)]) for j in range(6)]
+    enc = g4_encode(rows, 21, byte_align=True)
+    assert g4_decode(enc, 21, 6, byte_align=True) == rows
+    plain = g4_encode(rows, 21)
+    assert enc != plain and len(enc) > len(plain)
+
+
+def test_pdf_g3_xobject_roundtrip_and_ocr():
+    """K=0 (Group 3 1-D) embedded scans: bit-exact container round trip
+    and the dispatcher's OCR fallback decodes them."""
+    from pdf_extraction_spark.operators.any_text import extract_any
+    from pdf_extraction_spark.operators.ccitt import g3_encode
+    from pdf_extraction_spark.operators.ocr import render_page, sanitize_text
+    from pdf_extraction_spark.pdf_parse import build_pdf, extract_pdf_images
+
+    rows = [bytes([(i // 2 + j) % 2 for i in range(32)]) for j in range(10)]
+    payload = g3_encode(rows, 32)
+    pdf = build_pdf([""], images=[("g3", 32, 10, payload)])
+    (im,) = extract_pdf_images(pdf)[0]
+    assert im["filter"] == "CCITTFaxDecode" and im["decode_parms"]["K"] == 0
+    assert im["data"] == payload
+
+    text = "G3 fax page\nline two"
+    want = sanitize_text(text)[:128]
+    raster = render_page(sanitize_text(text))
+    prows = [bytes(1 if v < 128 else 0 for v in raster[j]) for j in range(64)]
+    scanned = build_pdf([""], images=[("g3", 128, 64, g3_encode(prows, 128))])
+    assert extract_any(scanned) == ("pdf_scanned", want)
+
+
 def test_scanned_one_g4_parity():
     from pdf_extraction_spark.operators.ocr import _scanned_one, sanitize_text
 
