@@ -101,18 +101,20 @@ def sniff_doc_type(raw: bytes) -> str:
         return "binary"
 
 
-def _ocr_scanned_pdf(raw: bytes) -> str | None:
-    """OCR fallback for image-only PDFs — the reference's scanned-page
+def _ocr_pdf_pages(raw: bytes) -> list[str | None]:
+    """Per-page OCR for scanned PDF pages — the reference's scanned-page
     dataflow (pdfextraction.py:16,72-73 rasterizes and OCRs pages with
-    no text layer).  Decodes each page's embedded image (DCTDecode via
-    the in-repo JPEG codec, CCITTFaxDecode via the T.6/MH codec) and
-    runs the template OCR.  HONEST SCOPE (same contract as
-    operators/ocr.py): the template matcher recognizes the repo's own
-    8x8 bitmap font on the 128x64 page grid — the full
-    render->compress->embed->decode->recognize dataflow over documents
-    this engine produced; general OCR of arbitrary scans remains
-    env-blocked (no tesseract).  Off-grid or undecodable images are
-    skipped; returns None when nothing was recovered."""
+    no text layer, PAGE BY PAGE).  Decodes each page's embedded images
+    (DCTDecode via the in-repo JPEG codec, CCITTFaxDecode across the
+    full /K range via the T.4/T.6 codecs) and runs the template OCR;
+    returns one recovered string (or None) per page, so the caller can
+    merge text-layer pages with OCR'd scanned pages in a mixed
+    document.  HONEST SCOPE (same contract as operators/ocr.py): the
+    template matcher recognizes the repo's own 8x8 bitmap font on the
+    128x64 page grid — the full render->compress->embed->decode->
+    recognize dataflow over documents this engine produced; general OCR
+    of arbitrary scans remains env-blocked (no tesseract).  Off-grid or
+    undecodable images are skipped."""
     import numpy as np
 
     from pdf_extraction_spark.operators.ccitt import g3_decode, g4_decode
@@ -120,8 +122,9 @@ def _ocr_scanned_pdf(raw: bytes) -> str | None:
     from pdf_extraction_spark.operators.ocr import ocr_page
     from pdf_extraction_spark.pdf_parse import extract_pdf_images
 
-    texts = []
+    out: list[str | None] = []
     for page in extract_pdf_images(raw):
+        texts = []
         for im in page:
             gray = None
             if im["filter"] == "DCTDecode":
@@ -155,7 +158,8 @@ def _ocr_scanned_pdf(raw: bytes) -> str | None:
                 t = ocr_page(gray)
                 if t:
                     texts.append(t)
-    return "\n".join(texts) if texts else None
+        out.append("\n".join(texts) if texts else None)
+    return out
 
 
 def extract_any(raw: bytes) -> tuple[str, str | None]:
@@ -164,12 +168,21 @@ def extract_any(raw: bytes) -> tuple[str, str | None]:
     if t == "pdf":
         from pdf_extraction_spark.pdf_parse import extract_pdf_pages
 
-        text = "\n".join(extract_pdf_pages(raw))
-        if not text.strip():
-            ocr = _ocr_scanned_pdf(raw)
-            if ocr is not None:
-                return "pdf_scanned", ocr
-        return t, text
+        pages = extract_pdf_pages(raw)
+        if all(p.strip() for p in pages):  # full text layer: no OCR pass
+            return t, "\n".join(pages)
+        # mixed or image-only document: OCR exactly the textless pages
+        # (the reference's per-page fallback, pdfextraction.py:72-73)
+        ocr_pages = _ocr_pdf_pages(raw)
+        used_ocr = False
+        merged = []
+        for i, p in enumerate(pages):
+            if not p.strip() and i < len(ocr_pages) and ocr_pages[i]:
+                merged.append(ocr_pages[i])
+                used_ocr = True
+            else:
+                merged.append(p)
+        return ("pdf_scanned" if used_ocr else t), "\n".join(merged)
     if t == "docx":
         from pdf_extraction_spark.operators.docx_text import (
             extract_docx_paragraphs,

@@ -100,6 +100,16 @@ def test_scanned_pdf_ocr_fallback():
     small = np.full((16, 16), 255, np.uint8)
     t, out = extract_any(build_pdf([""], images=[encode_baseline_jpeg(small)]))
     assert (t, out) == ("pdf", "")
+    # MIXED document — a typed page followed by a scanned page: the
+    # fallback is per-page (the reference OCRs page by page), so the
+    # text layer survives and only the textless page is OCR'd
+    t, out = extract_any(
+        build_pdf(
+            ["typed page one", ""],
+            images=[None, ("g4", 128, 64, g4_encode(rows, 128))],
+        )
+    )
+    assert t == "pdf_scanned" and out == "typed page one\n" + want
 
 
 @settings(max_examples=60, deadline=None)
