@@ -7,7 +7,9 @@ import json
 import tarfile
 import zipfile
 
+from pdf_extraction_spark.operators.ccitt import g4_encode
 from pdf_extraction_spark.operators.docx_text import build_docx
+from pdf_extraction_spark.operators.ocr import render_page, sanitize_text
 from pdf_extraction_spark.pdf_parse import build_pdf
 
 _HTML = (
@@ -16,8 +18,16 @@ _HTML = (
     + b"</p></body></html>"
 )
 
+
+def _scanned_pdf(text: str) -> bytes:
+    raster = render_page(sanitize_text(text))
+    rows = [bytes(1 if v < 128 else 0 for v in raster[j]) for j in range(64)]
+    return build_pdf([""], images=[("g4", 128, 64, g4_encode(rows, 128))])
+
+
 _MEMBERS = [
     ("a/report.pdf", build_pdf(["ingested pdf text"])),
+    ("a/scan.pdf", _scanned_pdf("Scanned page 9")),
     ("a/memo.docx", build_docx(["ingested docx text"])),
     ("b/page.html", _HTML),
     ("b/notes.txt", "plain notes ✓".encode()),
@@ -31,6 +41,9 @@ def _check_output(spark, out, capsys):
     assert len(rows) == len(_MEMBERS)
     assert rows["a/report.pdf"]["doc_type"] == "pdf"
     assert rows["a/report.pdf"]["text"] == "ingested pdf text"
+    # the scanned member came back through the OCR fallback
+    assert rows["a/scan.pdf"]["doc_type"] == "pdf_scanned"
+    assert rows["a/scan.pdf"]["text"] == "Scanned page 9"
     assert rows["a/memo.docx"]["text"] == "ingested docx text"
     assert "article body" in rows["b/page.html"]["text"]
     assert rows["b/notes.txt"]["text"] == "plain notes ✓"
@@ -40,7 +53,7 @@ def _check_output(spark, out, capsys):
     assert all(r["source"] for r in rows.values())
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["rows"] == len(_MEMBERS)
-    assert summary["with_text"] == 4
+    assert summary["with_text"] == 5
 
 
 def test_ingest_tar(spark, tmp_path, capsys):
