@@ -2222,8 +2222,10 @@ def q_multimodal_tiff_g4(spark, sf_dir):
     against the reference line, T.4 white/black run alphabets, EOFB —
     plus Compression=3 Group 3 (EOL-framed T.4, both pure 1-D and the
     mixed 2-D scheme with per-line tag bits and K=2, per T4Options)
-    and Compression=2 bare Modified Huffman (byte-aligned rows), all
-    decoded by the from-scratch codec in operators/ccitt.py.  Pixels
+    Compression=2 bare Modified Huffman (byte-aligned rows), and
+    Compression=1 raw packed bits (MSB-first, byte-padded rows) —
+    the fax variants decoded by the from-scratch codec in
+    operators/ccitt.py.  Pixels
     are ink iff their shared md5-formula byte >= 128, so the DuckDB
     twin replays the exact bilevel image analytically
     (compression-invariant by construction): any mode-coding,

@@ -177,12 +177,13 @@ def parse_tiff(raw: bytes):
         or not rps
     ):
         return None
-    if comp in (2, 3, 4):
-        # CCITT bilevel — what real scanners emit: Group 4 (T.6, comp 4),
+    if (comp in (2, 3, 4)) or (comp == 1 and bps == [1]):
+        # Bilevel — what real scanners emit: Group 4 (T.6, comp 4),
         # Group 3 (T.4 EOL-framed, comp 3, 1-D or 2-D per T4Options
-        # bit 0), or Modified Huffman (bare T.4 1-D, comp 2).  Fax sense
-        # only (PhotometricInterpretation 0 = WhiteIsZero); each strip is
-        # an independent coding block per TIFF 6.0.
+        # bit 0), Modified Huffman (bare T.4 1-D, comp 2), or raw packed
+        # bits (comp 1, MSB-first, rows padded to byte boundaries).  Fax
+        # sense only (PhotometricInterpretation 0 = WhiteIsZero); each
+        # compressed strip is an independent coding block per TIFF 6.0.
         if spp != 1 or bps != [1] or one(_T_PHOTOMETRIC, 0) != 0 or predictor != 1:
             return None
         t4_2d = bool(one(_T_T4OPTIONS, 0) & 1)
@@ -199,8 +200,19 @@ def parse_tiff(raw: bytes):
                     bilevel = g4_decode(chunk, w, nrows)
                 elif comp == 3:
                     bilevel = g3_decode(chunk, w, nrows, two_d=t4_2d)
-                else:
+                elif comp == 2:
                     bilevel = mh_decode(chunk, w, nrows)
+                else:  # raw packed bits
+                    stride_b = (w + 7) // 8
+                    if len(chunk) < nrows * stride_b:
+                        return None
+                    bilevel = [
+                        bytes(
+                            (chunk[j * stride_b + (i >> 3)] >> (7 - (i & 7))) & 1
+                            for i in range(w)
+                        )
+                        for j in range(nrows)
+                    ]
             except ValueError:
                 return None
             if len(bilevel) != nrows:
@@ -386,7 +398,7 @@ def synth_tiff_g4_bytes(media_id: int) -> bytes:
     w, h = _tiff_g4_dims(media_id)
     bo = "little" if media_id % 2 == 0 else "big"
     mode = media_id % 5
-    comp = {4: 2, 2: 3, 1: 3}.get(mode, 4)
+    comp = {4: 2, 2: 3, 1: 3, 3: 1}.get(mode, 4)
     two_d = mode == 1
     rps = 3
     strips = []
@@ -397,8 +409,20 @@ def synth_tiff_g4_bytes(media_id: int) -> bytes:
             strips.append(g4_encode(rows, w))
         elif comp == 3:
             strips.append(g3_encode(rows, w, two_d=two_d, k=2))
-        else:
+        elif comp == 2:
             strips.append(mh_encode(rows, w))
+        else:  # raw packed bits, MSB-first, byte-padded rows
+            packed = bytearray()
+            for row in rows:
+                acc = 0
+                for i, px in enumerate(row):
+                    acc = (acc << 1) | px
+                    if i % 8 == 7:
+                        packed.append(acc)
+                        acc = 0
+                if w % 8:
+                    packed.append(acc << (8 - w % 8))
+            strips.append(bytes(packed))
     entries = [
         (_T_WIDTH, 3, [w]),
         (_T_HEIGHT, 3, [h]),
