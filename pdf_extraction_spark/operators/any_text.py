@@ -162,8 +162,30 @@ def _ocr_pdf_pages(raw: bytes) -> list[str | None]:
     return out
 
 
-def extract_any(raw: bytes) -> tuple[str, str | None]:
-    """(doc_type, extracted_text_or_None) for one blob."""
+_MAX_GZ_DEPTH = 3  # a.txt.gz.gz is real; unbounded nesting is a zip bomb
+_MAX_GZ_BYTES = 256 << 20  # cap decompressed size per member (bomb guard)
+
+
+def extract_any(raw: bytes, _depth: int = 0) -> tuple[str, str | None]:
+    """(doc_type, extracted_text_or_None) for one blob.  Gzip members
+    (crawl dumps ship .txt.gz/.html.gz/.json.gz everywhere) decompress
+    transparently and re-dispatch, bounded by depth and size guards;
+    the reported type is "<inner>.gz" so provenance stays visible."""
+    if raw[:2] == b"\x1f\x8b" and _depth < _MAX_GZ_DEPTH:
+        import gzip
+        import io
+
+        try:
+            with gzip.GzipFile(fileobj=io.BytesIO(raw)) as g:
+                inner = g.read(_MAX_GZ_BYTES + 1)
+            if len(inner) > _MAX_GZ_BYTES:
+                raise ValueError("gzip member exceeds the decompressed-size cap")
+        except ValueError:
+            raise
+        except Exception:
+            return "binary", None  # bad gzip framing: opaque bytes, no text
+        t, text = extract_any(inner, _depth + 1)
+        return f"{t}.gz", text
     t = sniff_doc_type(raw)
     if t == "pdf":
         from pdf_extraction_spark.pdf_parse import extract_pdf_pages

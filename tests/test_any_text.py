@@ -112,6 +112,31 @@ def test_scanned_pdf_ocr_fallback():
     assert t == "pdf_scanned" and out == "typed page one\n" + want
 
 
+def test_gzip_members_dispatch_transparently():
+    """Crawl dumps ship .txt.gz/.html.gz members: gzip blobs decompress
+    and re-dispatch with the inner type suffixed '.gz'; nesting is
+    depth-bounded and corrupt framing is contained as plain binary."""
+    import gzip
+
+    assert extract_any(gzip.compress("hello crawl".encode())) == (
+        "text.gz",
+        "hello crawl",
+    )
+    assert extract_any(gzip.compress(build_pdf(["pdf in gz"]))) == (
+        "pdf.gz",
+        "pdf in gz",
+    )
+    assert extract_any(gzip.compress(gzip.compress(b"double"))) == (
+        "text.gz.gz",
+        "double",
+    )
+    deep = b"deep"
+    for _ in range(4):
+        deep = gzip.compress(deep)
+    assert extract_any(deep) == ("binary.gz.gz.gz", None)  # depth bound
+    assert extract_any(b"\x1f\x8b\x00\xff garbage") == ("binary", None)
+
+
 @settings(max_examples=60, deadline=None)
 @given(_doc_text, st.sampled_from(["pdf", "docx", "epub", "text"]))
 def test_property_routing_identity(text, fmt):
