@@ -224,8 +224,59 @@ def extract_any(raw: bytes, _depth: int = 0) -> tuple[str, str | None]:
 
         return t, extract_main_text(raw)
     if t == "text":
-        return t, raw.decode("utf-8")
+        text = raw.decode("utf-8")
+        refined = _refine_json(text)
+        if refined is not None:
+            return refined
+        return t, text
     return t, None
+
+
+_JSON_TEXT_FIELDS = ("text", "content", "body")  # the crawl-corpus convention
+
+
+def _refine_json(text: str) -> tuple[str, str | None] | None:
+    """Refine a UTF-8 blob that is actually JSON/JSONL — the member
+    type crawl corpora carry most after HTML.  A blob where EVERY
+    non-empty line parses as a JSON object is "jsonl" (its text = the
+    conventional text field of each line, joined); a single JSON
+    object/array is "json".  Anything that does not fully parse stays
+    plain text (returns None)."""
+    stripped = text.lstrip()
+    if not stripped or stripped[0] not in "{[":
+        return None
+    import json
+
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+    if stripped[0] == "{" and len(lines) > 1:
+        objs = []
+        for ln in lines:
+            try:
+                o = json.loads(ln)
+            except ValueError:
+                objs = None
+                break
+            if not isinstance(o, dict):
+                objs = None
+                break
+            objs.append(o)
+        if objs is not None:
+            parts = []
+            for o in objs:
+                for f in _JSON_TEXT_FIELDS:
+                    if isinstance(o.get(f), str):
+                        parts.append(o[f])
+                        break
+            return "jsonl", "\n".join(parts) if parts else None
+    try:
+        o = json.loads(text)
+    except ValueError:
+        return None
+    if isinstance(o, dict):
+        for f in _JSON_TEXT_FIELDS:
+            if isinstance(o.get(f), str):
+                return "json", o[f]
+    return "json", None
 
 
 ANY_TEXT_SCHEMA = "doc_id long, doc_type string, text string, error string"

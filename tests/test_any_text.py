@@ -112,6 +112,29 @@ def test_scanned_pdf_ocr_fallback():
     assert t == "pdf_scanned" and out == "typed page one\n" + want
 
 
+def test_json_and_jsonl_members_refined():
+    """UTF-8 members that are actually JSON/JSONL get the typed route
+    and the conventional text field; anything that does not fully
+    parse stays plain text."""
+    import gzip
+
+    assert extract_any(b'{"text": "doc one"}\n{"text": "doc two"}\n') == (
+        "jsonl",
+        "doc one\ndoc two",
+    )
+    assert extract_any(b'{"content": "c1"}\n{"body": "b2"}') == ("jsonl", "c1\nb2")
+    assert extract_any(b'{"text": "single"}') == ("json", "single")
+    assert extract_any(b'{"meta": 1}') == ("json", None)
+    assert extract_any(b"[1, 2, 3]") == ("json", None)
+    assert extract_any(b"{not json at all") == ("text", "{not json at all")
+    assert extract_any(b'{"text": "a"}\nnot-json\n')[0] == "text"
+    # composes with the gzip unwrap: the commonest crawl member of all
+    assert extract_any(gzip.compress(b'{"text": "zipped"}\n{"text": "rows"}')) == (
+        "jsonl.gz",
+        "zipped\nrows",
+    )
+
+
 def test_gzip_members_dispatch_transparently():
     """Crawl dumps ship .txt.gz/.html.gz members: gzip blobs decompress
     and re-dispatch with the inner type suffixed '.gz'; nesting is
