@@ -166,26 +166,54 @@ _MAX_GZ_DEPTH = 3  # a.txt.gz.gz is real; unbounded nesting is a zip bomb
 _MAX_GZ_BYTES = 256 << 20  # cap decompressed size per member (bomb guard)
 
 
-def extract_any(raw: bytes, _depth: int = 0) -> tuple[str, str | None]:
-    """(doc_type, extracted_text_or_None) for one blob.  Gzip members
-    (crawl dumps ship .txt.gz/.html.gz/.json.gz everywhere) decompress
-    transparently and re-dispatch, bounded by depth and size guards;
-    the reported type is "<inner>.gz" so provenance stays visible."""
-    if raw[:2] == b"\x1f\x8b" and _depth < _MAX_GZ_DEPTH:
-        import gzip
-        import io
+def _unwrap_compressed(raw: bytes) -> tuple[str, bytes] | None:
+    """(suffix, decompressed) when the blob is a stdlib-decodable
+    compressed member — gzip, bzip2 (Wikipedia dumps), or xz — else
+    None.  Decompression is size-capped (bomb guard); bad framing
+    returns None so the caller treats the blob as opaque binary."""
+    import io
 
-        try:
-            with gzip.GzipFile(fileobj=io.BytesIO(raw)) as g:
-                inner = g.read(_MAX_GZ_BYTES + 1)
-            if len(inner) > _MAX_GZ_BYTES:
-                raise ValueError("gzip member exceeds the decompressed-size cap")
-        except ValueError:
-            raise
-        except Exception:
-            return "binary", None  # bad gzip framing: opaque bytes, no text
-        t, text = extract_any(inner, _depth + 1)
-        return f"{t}.gz", text
+    if raw[:2] == b"\x1f\x8b":
+        import gzip
+
+        opener, suffix = (lambda: gzip.GzipFile(fileobj=io.BytesIO(raw))), "gz"
+    elif raw[:3] == b"BZh" and len(raw) > 4 and raw[3:4].isdigit():
+        import bz2
+
+        opener, suffix = (lambda: bz2.BZ2File(io.BytesIO(raw))), "bz2"
+    elif raw[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        opener, suffix = (lambda: lzma.LZMAFile(io.BytesIO(raw))), "xz"
+    else:
+        return None
+    try:
+        with opener() as f:
+            inner = f.read(_MAX_GZ_BYTES + 1)
+        if len(inner) > _MAX_GZ_BYTES:
+            raise ValueError(f"{suffix} member exceeds the decompressed-size cap")
+    except ValueError:
+        raise
+    except Exception:
+        return None  # bad framing: opaque bytes
+    return suffix, inner
+
+
+def extract_any(raw: bytes, _depth: int = 0) -> tuple[str, str | None]:
+    """(doc_type, extracted_text_or_None) for one blob.  Compressed
+    members (crawl dumps ship .txt.gz/.html.gz/.json.gz everywhere;
+    Wikipedia dumps ship .bz2; log archives ship .xz) decompress
+    transparently and re-dispatch, bounded by depth and size guards;
+    the reported type is "<inner>.<suffix>" so provenance stays
+    visible."""
+    if _depth < _MAX_GZ_DEPTH:
+        unwrapped = _unwrap_compressed(raw)
+        if unwrapped is not None:
+            suffix, inner = unwrapped
+            t, text = extract_any(inner, _depth + 1)
+            return f"{t}.{suffix}", text
+        # compression magic with bad framing falls through to the sniffer,
+        # which types such bytes "binary" (invalid UTF-8 / NUL heuristic)
     t = sniff_doc_type(raw)
     if t == "pdf":
         from pdf_extraction_spark.pdf_parse import extract_pdf_pages

@@ -158,6 +158,17 @@ def test_gzip_members_dispatch_transparently():
         deep = gzip.compress(deep)
     assert extract_any(deep) == ("binary.gz.gz.gz", None)  # depth bound
     assert extract_any(b"\x1f\x8b\x00\xff garbage") == ("binary", None)
+    # bzip2 (Wikipedia dumps) and xz members, incl. mixed nesting
+    import bz2
+    import lzma
+
+    assert extract_any(bz2.compress(b"wiki dump text")) == ("text.bz2", "wiki dump text")
+    assert extract_any(lzma.compress(b'{"text": "xz row"}')) == ("json.xz", "xz row")
+    assert extract_any(gzip.compress(bz2.compress(b"nested"))) == (
+        "text.bz2.gz",
+        "nested",
+    )
+    assert extract_any(b"BZh9 corrupt bzip stream \x00") == ("binary", None)
 
 
 @settings(max_examples=60, deadline=None)
