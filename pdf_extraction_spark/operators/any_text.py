@@ -117,7 +117,7 @@ def _ocr_pdf_pages(raw: bytes) -> list[str | None]:
     undecodable images are skipped."""
     import numpy as np
 
-    from pdf_extraction_spark.operators.ccitt import g3_decode, g4_decode
+    from pdf_extraction_spark.operators.ccitt import decode_ccitt_pdf_image
     from pdf_extraction_spark.operators.jpeg import parse_jpeg
     from pdf_extraction_spark.operators.ocr import ocr_page
     from pdf_extraction_spark.pdf_parse import extract_pdf_images
@@ -132,16 +132,8 @@ def _ocr_pdf_pages(raw: bytes) -> list[str | None]:
                 if decoded is not None:
                     gray = decoded[3][:, :, 0]
             elif im["filter"] == "CCITTFaxDecode":
-                parms = im["decode_parms"] or {}
-                k = int(parms.get("K", 0))
-                cols = int(parms.get("Columns", 1728))
-                nrows = int(parms.get("Rows", 0)) or None
-                align = bool(parms.get("EncodedByteAlign", False))
                 try:
-                    if k < 0:
-                        rows = g4_decode(im["data"], cols, nrows, byte_align=align)
-                    else:
-                        rows = g3_decode(im["data"], cols, nrows, two_d=k > 0)
+                    rows = decode_ccitt_pdf_image(im["data"], im["decode_parms"])
                 except ValueError:
                     rows = None
                 if rows:

@@ -303,6 +303,10 @@ def g4_encode(rows: list[bytes], width: int, byte_align: bool = False) -> bytes:
             w.pad_to_byte()
         _encode_row_2d(w, row, ref, width)
         ref = _changes(row)
+    if byte_align:
+        # the EOFB starts aligned too, so a height-unaware aligned read
+        # (align -> peek EOFB -> decode) terminates exactly
+        w.pad_to_byte()
     w.write(_EOL)
     w.write(_EOL)
     return w.getvalue()
@@ -429,16 +433,22 @@ def mh_encode(rows: list[bytes], width: int) -> bytes:
     return w.getvalue()
 
 
-def mh_decode(data: bytes, width: int, height: int) -> list[bytes]:
-    """Decode TIFF-Compression=2 Modified Huffman lines: alternating
-    white/black T.4 runs that must total exactly ``width`` per row,
-    each row byte-aligned.  Raises ValueError on malformed input."""
+def mh_decode(
+    data: bytes, width: int, height: int, byte_align: bool = True
+) -> list[bytes]:
+    """Decode bare Modified Huffman lines: alternating white/black T.4
+    runs that must total exactly ``width`` per row.  ``byte_align=True``
+    is TIFF Compression=2 (each row starts on a byte boundary);
+    ``byte_align=False`` is the continuous form PDF ``/K 0`` streams use
+    when ``/EncodedByteAlign`` is false (the PDF default — no EOLs, no
+    padding).  Raises ValueError on malformed input."""
     if width <= 0 or height <= 0:
         raise ValueError("ccitt: bad geometry")
     r = _BitReader(data)
     rows: list[bytes] = []
     for _ in range(height):
-        r.align()
+        if byte_align:
+            r.align()
         rows.append(_decode_row_1d(r, width))
     return rows
 
@@ -501,6 +511,33 @@ def g3_decode(
             _decode_row_1d(r, width) if one_d else _decode_row_2d(r, rows and _changes(rows[-1]) or [], width)
         )
     return rows
+
+
+def decode_ccitt_pdf_image(data: bytes, parms: dict | None) -> list[bytes]:
+    """Decode a PDF ``/CCITTFaxDecode`` image stream from its resolved
+    ``/DecodeParms`` — THE single dispatch both OCR consumers share:
+
+      /K < 0  -> T.6 (G4), honouring /EncodedByteAlign
+      /K = 0  -> pure 1-D: EOL-framed when /EndOfLine true, else the
+                 continuous (PDF-default) run stream, honouring
+                 /EncodedByteAlign per line
+      /K > 0  -> mixed 2-D G3 (EOL tag bits select per line)
+
+    Returns rows of semantic ink (1 = black) regardless of /BlackIs1,
+    which only maps OUTPUT bit values; raises ValueError on malformed
+    input (callers contain per document)."""
+    p = parms or {}
+    k = int(p.get("K", 0))
+    cols = int(p.get("Columns", 1728))
+    nrows = int(p.get("Rows", 0)) or None
+    align = bool(p.get("EncodedByteAlign", False))
+    if k < 0:
+        return g4_decode(data, cols, nrows, byte_align=align)
+    if k == 0 and not bool(p.get("EndOfLine", False)):
+        if nrows is None:
+            raise ValueError("ccitt: K=0 without /EndOfLine requires /Rows")
+        return mh_decode(data, cols, nrows, byte_align=align)
+    return g3_decode(data, cols, nrows, two_d=k > 0)
 
 
 def _seek_eol(r: _BitReader) -> bool:

@@ -41,7 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
 
-from pdf_extraction_spark.operators.ccitt import g4_decode, g4_encode
+from pdf_extraction_spark.operators.ccitt import decode_ccitt_pdf_image, g4_encode
 from pdf_extraction_spark.operators.jpeg import encode_baseline_jpeg, parse_jpeg
 from pdf_extraction_spark.pdf_parse import build_pdf, extract_pdf_images
 
@@ -204,10 +204,7 @@ def _scanned_one(doc_id: int, text: str) -> tuple[int, int, int, str, str]:
         return 0, 0, 0, "", ""
     im = imgs[0][0]
     if im["filter"] == "CCITTFaxDecode":
-        parms = im["decode_parms"] or {}
-        bits = g4_decode(
-            im["data"], int(parms.get("Columns", 1728)), int(parms.get("Rows", 0)) or None
-        )
+        bits = decode_ccitt_pdf_image(im["data"], im["decode_parms"])
         # BlackIs1 true: 1 = ink; rebuild the grayscale page (ink 0)
         img = np.where(
             np.frombuffer(b"".join(bits), np.uint8).reshape(im["height"], im["width"]),

@@ -762,12 +762,17 @@ def build_pdf(
                 kind, w, h, payload = jb
                 if kind not in ("g4", "g3"):
                     raise ValueError(f"build_pdf: unknown image kind {kind!r}")
-                k_param = -1 if kind == "g4" else 0
+                # "g3" payloads come from g3_encode, which frames every
+                # line with an EOL — declare /EndOfLine true (the PDF
+                # default is false = the continuous un-framed stream)
+                parms = (
+                    "/K -1" if kind == "g4" else "/K 0 /EndOfLine true"
+                )
                 data = _protect(iid, payload)
                 objects[iid] = (
                     f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h}"
                     f" /ColorSpace /DeviceGray /BitsPerComponent 1"
-                    f" /Filter /CCITTFaxDecode /DecodeParms << /K {k_param}"
+                    f" /Filter /CCITTFaxDecode /DecodeParms << {parms}"
                     f" /Columns {w} /Rows {h} /BlackIs1 true >>"
                     f" /Length {len(data)} >>"
                 ).encode("ascii")

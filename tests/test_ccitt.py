@@ -422,3 +422,61 @@ def test_scanned_one_g4_parity():
         assert (n, w, h) == (1, 128, 64)
         assert filt == ("DCTDecode" if doc_id % 2 == 0 else "CCITTFaxDecode")
         assert rec == sanitize_text(text)[:128]
+
+
+def test_decode_ccitt_pdf_image_dispatch():
+    """decode_ccitt_pdf_image routes every /K shape a PDF can declare to
+    the right codec — the single dispatch both OCR consumers share."""
+    from pdf_extraction_spark.operators.ccitt import (
+        _BitWriter,
+        _encode_row_1d,
+        decode_ccitt_pdf_image,
+        g3_encode,
+        mh_encode,
+    )
+
+    rows = [bytes([(i // 3 + j) % 2 for i in range(19)]) for j in range(7)]
+    base = {"Columns": 19, "Rows": 7}
+
+    # /K -1 -> G4, with and without /EncodedByteAlign
+    enc = g4_encode(rows, 19)
+    assert decode_ccitt_pdf_image(enc, {**base, "K": -1}) == rows
+    enc_a = g4_encode(rows, 19, byte_align=True)
+    assert (
+        decode_ccitt_pdf_image(enc_a, {**base, "K": -1, "EncodedByteAlign": True})
+        == rows
+    )
+
+    # /K 0 continuous (PDF default: no EOLs, no padding)
+    w = _BitWriter()
+    for row in rows:
+        _encode_row_1d(w, row, 19)
+    assert decode_ccitt_pdf_image(w.getvalue(), {**base, "K": 0}) == rows
+
+    # /K 0 + /EncodedByteAlign -> per-line aligned MH (the TIFF shape)
+    assert (
+        decode_ccitt_pdf_image(
+            mh_encode(rows, 19), {**base, "K": 0, "EncodedByteAlign": True}
+        )
+        == rows
+    )
+
+    # /K 0 + /EndOfLine true -> EOL-framed G3 1-D (what build_pdf emits)
+    assert (
+        decode_ccitt_pdf_image(
+            g3_encode(rows, 19), {**base, "K": 0, "EndOfLine": True}
+        )
+        == rows
+    )
+
+    # /K > 0 -> mixed 2-D G3
+    assert (
+        decode_ccitt_pdf_image(
+            g3_encode(rows, 19, two_d=True, k=4), {**base, "K": 4}
+        )
+        == rows
+    )
+
+    # continuous /K 0 cannot infer height
+    with pytest.raises(ValueError):
+        decode_ccitt_pdf_image(w.getvalue(), {"K": 0, "Columns": 19})
