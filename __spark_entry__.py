@@ -2136,6 +2136,34 @@ FROM documents
 """
 
 
+def q_extract_rtf_text(spark, sf_dir):
+    """Text extraction from real RTF bytes — the legacy rich-text
+    format web corpora still carry (round-5, NEW — parked in
+    all_queries(); the driver snapshot is already taken this round):
+    each document's text becomes a real RTF 1.x file (font/color
+    tables, an ignorable \\*\\generator destination, each paragraph
+    split across two adjacent groups) and the from-scratch tokenizer
+    must skip destinations, merge groups, honour \\ucN fallback
+    skipping, recombine \\uN surrogate pairs, and decode \\'hh bytes
+    via the declared codepage.  Unlike the XML containers, RTF carries
+    EVERY character (hex/unicode escapes), so the oracle is the exact
+    identity — no sanitize projection at all."""
+    from pdf_extraction_spark.operators.rtf_text import extract_rtf_roundtrip
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_rtf_roundtrip(d, "doc_id", "text")
+
+
+_ORACLE_RTF_TEXT = r"""
+SELECT doc_id,
+       CAST(2 AS INT) AS n_paragraphs,
+       CAST(length(coalesce(text, '')) // 2 AS INT) AS para1_chars,
+       CAST(length(coalesce(text, '')) AS INT) AS n_chars,
+       coalesce(text, '') AS extracted_text
+FROM documents
+"""
+
+
 def q_extract_epub_text(spark, sf_dir):
     """Text extraction from real .epub packages — the packaged-book
     container whose content is resolved INDIRECTLY: container.xml names
@@ -3006,6 +3034,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_tiff_decode": q_multimodal_tiff_decode,
         "multimodal_tiff_g4": q_multimodal_tiff_g4,
         "extract_docx_text": q_extract_docx_text,
+        "extract_rtf_text": q_extract_rtf_text,
         "extract_epub_text": q_extract_epub_text,
         "multimodal_ico_decode": q_multimodal_ico_decode,
         "multimodal_mp4_meta": q_multimodal_mp4_meta,
@@ -3232,6 +3261,7 @@ def all_oracles() -> dict[str, str]:
         "multimodal_tiff_decode": _ORACLE_TIFF_DECODE,
         "multimodal_tiff_g4": _ORACLE_TIFF_G4,
         "extract_docx_text": _ORACLE_DOCX_TEXT,
+        "extract_rtf_text": _ORACLE_RTF_TEXT,
         "extract_epub_text": _ORACLE_EPUB_TEXT,
         "multimodal_ico_decode": _ORACLE_ICO_DECODE,
         "multimodal_mp4_meta": _ORACLE_MP4_META,

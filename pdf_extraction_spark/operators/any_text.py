@@ -87,6 +87,8 @@ def sniff_doc_type(raw: bytes) -> str:
         return "mp3"  # bare MPEG-1 Layer III frame sync (no ID3 tag);
         # deliberately narrow — a loose 11-bit sync test would claim
         # UTF-16 BOMs and arbitrary high-byte binaries
+    if raw[:5] == b"{\\rtf":
+        return "rtf"
     stripped = raw.lstrip()[:16].lower()
     if stripped[:1] == b"<":
         # markup-leading blobs route through the HTML kernel (which also
@@ -239,6 +241,11 @@ def extract_any(raw: bytes, _depth: int = 0) -> tuple[str, str | None]:
 
         chaps = extract_epub_chapters(raw)
         return t, None if chaps is None else "\n".join(chaps)
+    if t == "rtf":
+        from pdf_extraction_spark.operators.rtf_text import extract_rtf_paragraphs
+
+        paras = extract_rtf_paragraphs(raw)
+        return t, None if paras is None else "\n".join(paras)
     if t == "html":
         from pdf_extraction_spark.html_extract import extract_main_text
 

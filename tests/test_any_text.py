@@ -32,6 +32,7 @@ def test_sniff_types():
         (b"BM....", "bmp"),
         (b"II*\x00rest", "tiff"),
         (b"MM\x00*rest", "tiff"),
+        (b"{\\rtf1\\ansi hello}", "rtf"),
         (b"<html><body>x</body></html>", "html"),
         (b"  <!DOCTYPE html><p>y</p>", "html"),
         (b"plain old text \xe2\x9c\x93", "text"),
@@ -57,6 +58,10 @@ def test_extract_any_per_type():
     assert t == "epub" and "c1" in text and "c2" in text
     t, text = extract_any("déjà vu".encode())
     assert t == "text" and text == "déjà vu"
+    from pdf_extraction_spark.operators.rtf_text import build_rtf
+
+    t, text = extract_any(build_rtf(["rich €", "text"]))
+    assert t == "rtf" and text == "rich €\ntext"
     t, text = extract_any(b"<html><body><p>" + b"This is the main article body with plenty of real sentence text to score well. " * 4 + b"</p></body></html>")
     assert t == "html" and "main article body" in text
     t, text = extract_any(synth_png_bytes(1))
@@ -172,7 +177,7 @@ def test_gzip_members_dispatch_transparently():
 
 
 @settings(max_examples=60, deadline=None)
-@given(_doc_text, st.sampled_from(["pdf", "docx", "epub", "text"]))
+@given(_doc_text, st.sampled_from(["pdf", "docx", "epub", "rtf", "text"]))
 def test_property_routing_identity(text, fmt):
     """build_<fmt>(text) -> extract_any recovers the format AND (after
     each builder's documented sanitize contract) the text."""
@@ -191,6 +196,12 @@ def test_property_routing_identity(text, fmt):
 
         t, got = extract_any(build_epub([text]))
         assert t == "epub" and sanitize_for_xml(text).strip() in got
+    elif fmt == "rtf":
+        from pdf_extraction_spark.operators.rtf_text import build_rtf
+
+        # RTF carries every character: exact identity, no sanitize
+        t, got = extract_any(build_rtf([text]))
+        assert t == "rtf" and got == text
     else:
         t, got = extract_any(text.encode())
         assert t == "text" and got == text
