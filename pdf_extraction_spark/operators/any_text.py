@@ -57,6 +57,33 @@ _IMAGE_MAGIC = [
 ]
 
 
+_UNICODE_BOMS = (  # UTF-32 first: its LE BOM starts with the UTF-16 LE BOM
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xef\xbb\xbf", "utf-8"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+_C0_GARBAGE = frozenset(range(0x20)) - {0x09, 0x0A, 0x0C, 0x0D}
+
+
+def decode_bom_text(raw: bytes) -> str | None:
+    """The text behind a Unicode byte-order mark, or None when there is
+    no BOM, the decode fails, or the decoded content carries C0 control
+    garbage (a real text file doesn't; a binary that happens to start
+    with BOM bytes usually does)."""
+    for bom, enc in _UNICODE_BOMS:
+        if raw.startswith(bom):
+            try:
+                text = raw[len(bom) :].decode(enc)
+            except UnicodeDecodeError:
+                return None
+            if any(ord(c) in _C0_GARBAGE for c in text):
+                return None
+            return text
+    return None
+
+
 def sniff_doc_type(raw: bytes) -> str:
     """Content type from leading bytes; zip containers are refined to
     docx/epub by their package layout."""
@@ -89,6 +116,9 @@ def sniff_doc_type(raw: bytes) -> str:
         # UTF-16 BOMs and arbitrary high-byte binaries
     if raw[:5] == b"{\\rtf":
         return "rtf"
+    bom_text = decode_bom_text(raw)
+    if bom_text is not None:
+        return "html" if bom_text.lstrip()[:1] == "<" else "text"
     stripped = raw.lstrip()[:16].lower()
     if stripped[:1] == b"<":
         # markup-leading blobs route through the HTML kernel (which also
@@ -208,6 +238,12 @@ def extract_any(raw: bytes, _depth: int = 0) -> tuple[str, str | None]:
             return f"{t}.{suffix}", text
         # compression magic with bad framing falls through to the sniffer,
         # which types such bytes "binary" (invalid UTF-8 / NUL heuristic)
+    bom_text = decode_bom_text(raw)
+    if bom_text is not None:
+        # UTF-16/UTF-32/BOM'd-UTF-8 member: transcode once and dispatch
+        # the UTF-8 form, so markup routing and JSON refinement see the
+        # same bytes they would from an ASCII-compatible file
+        raw = bom_text.encode("utf-8")
     t = sniff_doc_type(raw)
     if t == "pdf":
         from pdf_extraction_spark.pdf_parse import extract_pdf_pages

@@ -36,14 +36,23 @@ def test_sniff_types():
         (b"<html><body>x</body></html>", "html"),
         (b"  <!DOCTYPE html><p>y</p>", "html"),
         (b"plain old text \xe2\x9c\x93", "text"),
-        (b"\xff\xfe\x00\x01 not utf8 not magic", "binary"),
+        # Unicode BOMs: clean decodes are text/html, not binary
+        ("hello utf16".encode("utf-16-le"), "binary"),  # no BOM: NULs
+        (b"\xff\xfe" + "hello utf16 ™".encode("utf-16-le"), "text"),
+        (b"\xfe\xff" + "big endian".encode("utf-16-be"), "text"),
+        (b"\xff\xfe\x00\x00" + "utf32 row".encode("utf-32-le"), "text"),
+        (b"\xef\xbb\xbf<html><p>bom'd markup</p>", "html"),
+        (b"\xff\xfe" + "<p>utf16 markup</p>".encode("utf-16-le"), "html"),
+        (b"\xff\xfetruncated-odd-length\x00", "binary"),  # odd byte count
+        (b"\xff\xfe\x01\x00\x00\x00\x02\x00", "binary"),  # C0 garbage
+        (b"\xff\xfe\x00\x01 not utf8 not magic", "binary"),  # odd length
         (b"PK\x03\x04 corrupt zip that is not a zip", "zip"),
         (b"RIFF\x24\x00\x00\x00WAVEfmt ", "wav"),
         (b"RIFF\x24\x00\x00\x00AVI LIST", "riff"),
         (b"\x00\x00\x00\x18ftypisom rest", "mp4"),
         (b"ID3\x04\x00\x00\x00\x00\x00\x00", "mp3"),
         (b"\xff\xfb\x90\x00 frame", "mp3"),
-        (b"\xff\xfe\x00\x01 utf16-bom-ish", "binary"),
+        (b"\xff\xfe\x00\x01 utf16-bom-ish", "text"),  # even length, decodes
     ]
     for raw, expect in cases:
         assert sniff_doc_type(raw) == expect, raw[:8]
@@ -62,6 +71,20 @@ def test_extract_any_per_type():
 
     t, text = extract_any(build_rtf(["rich €", "text"]))
     assert t == "rtf" and text == "rich €\ntext"
+    # BOM'd members transcode once and take the normal routes
+    t, text = extract_any(b"\xff\xfe" + "utf16 body ✓".encode("utf-16-le"))
+    assert (t, text) == ("text", "utf16 body ✓")
+    t, text = extract_any(b"\xef\xbb\xbf" + '{"text": "bom json"}'.encode())
+    assert (t, text) == ("json", "bom json")
+    t, text = extract_any(
+        b"\xfe\xff"
+        + (
+            "<html><body><p>"
+            + "A big-endian page whose article body has plenty of real sentence text to score well. " * 4
+            + "</p></body></html>"
+        ).encode("utf-16-be")
+    )
+    assert t == "html" and "big-endian page" in text
     t, text = extract_any(b"<html><body><p>" + b"This is the main article body with plenty of real sentence text to score well. " * 4 + b"</p></body></html>")
     assert t == "html" and "main article body" in text
     t, text = extract_any(synth_png_bytes(1))
