@@ -2136,6 +2136,39 @@ FROM documents
 """
 
 
+def q_extract_xlsx_text(spark, sf_dir):
+    """Text extraction from real .xlsx workbooks — the OOXML container
+    whose text layer is INDIRECT (round-5, NEW — parked in
+    all_queries(); the driver snapshot is already taken this round):
+    each document's text becomes a real workbook (2x2 grid of text
+    quarters + a numeric length cell) whose cells cycle the three value
+    encodings Excel emits — shared strings (the value is an index into
+    xl/sharedStrings.xml), inline strings, and native number cells —
+    and whose worksheet path is resolved through the workbook rels
+    part.  The oracle replays the XML-1.0 projection and appends the
+    length cell's digits, so any defect in the package, the rels
+    resolution, the shared-string table, or any cell decoding breaks
+    the value hash."""
+    from pdf_extraction_spark.operators.xlsx_text import extract_xlsx_roundtrip
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_xlsx_roundtrip(d, "doc_id", "text")
+
+
+_ORACLE_XLSX_TEXT = r"""
+SELECT doc_id,
+       CAST(3 AS INT) AS n_rows,
+       CAST(5 AS INT) AS n_cells,
+       CAST(length(coalesce(text, ''))
+            + length(CAST(length(coalesce(text, '')) AS VARCHAR)) AS INT)
+         AS n_chars,
+       regexp_replace(regexp_replace(coalesce(text, ''), '\r', '?', 'g'),
+                      '[\x00-\x08\x0B\x0C\x0E-\x1F\x{FFFE}\x{FFFF}]', '?', 'g')
+         || CAST(length(coalesce(text, '')) AS VARCHAR) AS extracted_text
+FROM documents
+"""
+
+
 def q_extract_rtf_text(spark, sf_dir):
     """Text extraction from real RTF bytes — the legacy rich-text
     format web corpora still carry (round-5, NEW — parked in
@@ -3034,6 +3067,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_tiff_decode": q_multimodal_tiff_decode,
         "multimodal_tiff_g4": q_multimodal_tiff_g4,
         "extract_docx_text": q_extract_docx_text,
+        "extract_xlsx_text": q_extract_xlsx_text,
         "extract_rtf_text": q_extract_rtf_text,
         "extract_epub_text": q_extract_epub_text,
         "multimodal_ico_decode": q_multimodal_ico_decode,
@@ -3261,6 +3295,7 @@ def all_oracles() -> dict[str, str]:
         "multimodal_tiff_decode": _ORACLE_TIFF_DECODE,
         "multimodal_tiff_g4": _ORACLE_TIFF_G4,
         "extract_docx_text": _ORACLE_DOCX_TEXT,
+        "extract_xlsx_text": _ORACLE_XLSX_TEXT,
         "extract_rtf_text": _ORACLE_RTF_TEXT,
         "extract_epub_text": _ORACLE_EPUB_TEXT,
         "multimodal_ico_decode": _ORACLE_ICO_DECODE,

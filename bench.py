@@ -63,6 +63,7 @@ HEADLINE = [
     "multimodal_tiff_decode",
     "multimodal_tiff_g4",
     "extract_docx_text",
+    "extract_xlsx_text",
     "extract_rtf_text",
     "extract_pdf_text",
     # NOT in the headline (deliberate slow paths whose cost is the

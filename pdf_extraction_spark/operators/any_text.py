@@ -100,6 +100,8 @@ def sniff_doc_type(raw: bytes) -> str:
             return "zip"
         if "word/document.xml" in names:
             return "docx"
+        if "xl/workbook.xml" in names:
+            return "xlsx"
         if "META-INF/container.xml" in names:
             return "epub"
         return "zip"
@@ -270,6 +272,13 @@ def extract_any(raw: bytes, _depth: int = 0) -> tuple[str, str | None]:
 
         paras = extract_docx_paragraphs(raw)
         return t, None if paras is None else "\n".join(paras)
+    if t == "xlsx":
+        from pdf_extraction_spark.operators.xlsx_text import extract_xlsx_rows
+
+        rows = extract_xlsx_rows(raw)
+        return t, None if rows is None else "\n".join(
+            "\t".join(row) for row in rows
+        )
     if t == "epub":
         from pdf_extraction_spark.operators.epub_text import (
             extract_epub_chapters,

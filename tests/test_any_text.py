@@ -13,6 +13,7 @@ from pdf_extraction_spark.operators.any_text import (
     sniff_doc_type,
 )
 from pdf_extraction_spark.operators.docx_text import build_docx
+from pdf_extraction_spark.operators.xlsx_text import build_xlsx
 from pdf_extraction_spark.operators.epub_text import build_epub
 from pdf_extraction_spark.operators.jpeg import encode_baseline_jpeg
 from pdf_extraction_spark.operators.multimodal import synth_png_bytes
@@ -25,6 +26,7 @@ def test_sniff_types():
         (build_pdf(["hello"]), "pdf"),
         (build_pdf(["x"], encrypt="aes-128"), "pdf"),
         (build_docx(["para"]), "docx"),
+        (build_xlsx([["cell", "42"]]), "xlsx"),
         (build_epub(["chap"]), "epub"),
         (synth_png_bytes(3), "png"),
         (encode_baseline_jpeg(img), "jpeg"),
@@ -65,6 +67,8 @@ def test_extract_any_per_type():
     assert t == "docx" and text == "alpha\nbeta"
     t, text = extract_any(build_epub(["c1", "c2"]))
     assert t == "epub" and "c1" in text and "c2" in text
+    t, text = extract_any(build_xlsx([["name", "qty"], ["bolt", "42"]]))
+    assert (t, text) == ("xlsx", "name\tqty\nbolt\t42")
     t, text = extract_any("déjà vu".encode())
     assert t == "text" and text == "déjà vu"
     from pdf_extraction_spark.operators.rtf_text import build_rtf
