@@ -1929,7 +1929,9 @@ def q_extract_pdf_scanned(spark, sf_dir):
     even ids as JPEG (/XObject /Image /Filter /DCTDecode), odd ids as a
     CCITT Group 4 bilevel scan (/CCITTFaxDecode /K -1, the compression
     real document scanners emit, decoded by the from-scratch T.6 codec
-    in operators/ccitt.py); image-only pages, layouts and rc4/aes
+    in operators/ccitt.py — alternating the XObject-stream and inline
+    BI..ID..EI embeddings by id%4, both of which the listing reports
+    identically); image-only pages, layouts and rc4/aes
     encryption vary by doc_id.  The query recovers the image listing's
     metadata AND the OCR'd text.  The oracle replays only construction
     constants (1 image, 128x64, the filter parity) and the charset

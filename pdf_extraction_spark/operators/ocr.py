@@ -191,7 +191,11 @@ def _scanned_one(doc_id: int, text: str) -> tuple[int, int, int, str, str]:
     else:
         h, w = raster.shape
         rows = [bytes(1 if v < 128 else 0 for v in raster[j]) for j in range(h)]
-        payload = ("g4", w, h, g4_encode(rows, w))
+        # alternate the embedding route: XObject stream vs inline
+        # BI..ID..EI (both list as /CCITTFaxDecode, so the oracle's
+        # filter-by-parity pin is embedding-invariant by construction)
+        kind = "g4" if doc_id % 4 == 1 else "inline-g4"
+        payload = (kind, w, h, g4_encode(rows, w))
     pdf = build_pdf(
         [""],
         images=[payload],

@@ -563,6 +563,10 @@ def build_pdf(
       embeds a CCITT Group 4 bilevel scan (``/Filter /CCITTFaxDecode``,
       ``/DecodeParms << /K -1 /Columns w /Rows h /BlackIs1 true >>``,
       1 bit/component) — the two encodings real scanned PDFs carry.
+      ``("inline-g4"|"inline-dct", w, h, bytes)`` embeds the same
+      payload as an INLINE image (``BI .. ID .. EI`` in the content
+      stream, abbreviated keys per PDF 32000-1 §8.9.7) instead of an
+      XObject — the form fax-style generators emit.
       Either way the image paints via ``cm``+``Do`` before the text —
       the scanned-page layout the reference's OCR path consumes
       (pdfextraction.py:16).  ``extract_pdf_images`` returns the
@@ -747,9 +751,34 @@ def build_pdf(
 
     # ---- image XObjects: verbatim DCTDecode / CCITT G4 streams ----
     img_info: list[tuple[int, int, int] | None] = [None] * n
+    inline_paint: list[bytes | None] = [None] * n
     if images:
         for i, jb in enumerate(images[:n]):
             if jb is None:
+                continue
+            if isinstance(jb, tuple) and jb[0].startswith("inline-"):
+                # inline image (BI..ID..EI): the payload lives in the
+                # content stream itself, with the spec's abbreviated
+                # keys — no XObject, no Resources entry
+                kind, w, h, payload = jb
+                if kind == "inline-g4":
+                    hdr = (
+                        f"BI /W {w} /H {h} /BPC 1 /CS /G /F /CCF"
+                        f" /DP << /K -1 /Columns {w} /Rows {h}"
+                        f" /BlackIs1 true >> ID "
+                    )
+                elif kind == "inline-dct":
+                    hdr = f"BI /W {w} /H {h} /BPC 8 /CS /G /F /DCT ID "
+                else:
+                    raise ValueError(
+                        f"build_pdf: unknown image kind {kind!r}"
+                    )
+                inline_paint[i] = (
+                    f"q {w} 0 0 {h} 0 0 cm\n".encode("ascii")
+                    + hdr.encode("ascii")
+                    + payload
+                    + b"\nEI Q\n"
+                )
                 continue
             iid = next_id
             next_id += 1
@@ -807,6 +836,8 @@ def build_pdf(
             iid, w, h = img_info[i]
             res_xobj = f" /XObject << /Im1 {iid} 0 R >>"
             paint = f"q {w} 0 0 {h} 0 0 cm /Im1 Do Q\n".encode("ascii")
+        elif inline_paint[i] is not None:
+            paint = inline_paint[i]
         objects[pid] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ]"
             f" /Resources << /Font << {res_font} >>{res_xobj} >>"
@@ -2279,6 +2310,144 @@ _TEXT_OPS = frozenset(
 )
 
 
+# ---- inline images (BI .. ID .. EI, PDF 32000-1 §8.9.7) --------------------
+# inline image dicts use abbreviated keys/values; both forms are legal
+
+_INLINE_KEY_ABBREV = {
+    "W": "Width",
+    "H": "Height",
+    "BPC": "BitsPerComponent",
+    "CS": "ColorSpace",
+    "F": "Filter",
+    "DP": "DecodeParms",
+    "D": "Decode",
+    "IM": "ImageMask",
+    "I": "Interpolate",
+}
+_INLINE_FILTER_ABBREV = {
+    "AHx": "ASCIIHexDecode",
+    "A85": "ASCII85Decode",
+    "LZW": "LZWDecode",
+    "Fl": "FlateDecode",
+    "RL": "RunLengthDecode",
+    "CCF": "CCITTFaxDecode",
+    "DCT": "DCTDecode",
+}
+_INLINE_CS_ABBREV = {
+    "G": "DeviceGray",
+    "RGB": "DeviceRGB",
+    "CMYK": "DeviceCMYK",
+    "I": "Indexed",
+}
+_CS_CHANNELS = {"DeviceGray": 1, "DeviceRGB": 3, "DeviceCMYK": 4}
+
+
+def _parse_inline_image(lex: "_Lexer") -> tuple[dict, bytes]:
+    """After a ``BI`` operator: read the abbreviated key/value entries
+    up to ``ID``, then the raw payload up to the ``EI`` delimiter.
+    Keys are normalized to their full names.  Unfiltered payloads have
+    an EXACT length (width x height x bits, row-padded) so an embedded
+    'EI' byte pair cannot truncate them; filtered payloads scan for a
+    whitespace-delimited EI (the standard heuristic — real encoders'
+    CCITT/DCT streams do not contain one by construction).  Leaves the
+    lexer positioned after EI; raises ValueError on malformed input."""
+    meta: dict = {}
+    while True:
+        lex.skip_ws()
+        if lex.peek() == 0x2F:
+            key = str(lex.object())
+            val = lex.object()
+            meta[_INLINE_KEY_ABBREV.get(key, key)] = val
+            continue
+        kw = lex.keyword()
+        if kw == "ID":
+            break
+        if not kw:
+            raise ValueError("pdf parse: unterminated inline image dict")
+    d = lex.data
+    pos = lex.pos
+    if pos < len(d) and d[pos] in _WS:
+        pos += 1  # exactly one whitespace byte follows ID (spec)
+    if meta.get("Filter") is None:
+        w = int(meta.get("Width", 0))
+        h = int(meta.get("Height", 0))
+        mask = meta.get("ImageMask") is True
+        bpc = 1 if mask else int(meta.get("BitsPerComponent", 8))
+        cs = str(meta.get("ColorSpace", "DeviceGray"))
+        cs = _INLINE_CS_ABBREV.get(cs, cs)
+        chans = 1 if mask else _CS_CHANNELS.get(cs, 1)
+        nbytes = ((w * bpc * chans + 7) // 8) * h
+        if w <= 0 or h <= 0 or pos + nbytes > len(d):
+            raise ValueError("pdf parse: inline image data out of range")
+        lex.pos = pos + nbytes
+        lex.expect("EI")
+        return meta, d[pos : pos + nbytes]
+    i = pos
+    n = len(d)
+    while True:
+        j = d.find(b"EI", i)
+        if j < 0:
+            raise ValueError("pdf parse: unterminated inline image data")
+        after = d[j + 2] if j + 2 < n else None
+        if (
+            j > pos
+            and d[j - 1] in _WS
+            and (after is None or after in _WS or after in _DELIM)
+        ):
+            lex.pos = j + 2
+            return meta, d[pos : j - 1]
+        i = j + 2
+
+
+def _inline_image_listing(content: bytes) -> list[dict]:
+    """All inline images of one content stream, in the shape
+    extract_pdf_images uses for XObjects (abbreviations expanded, the
+    payload raw/not filter-decoded)."""
+    lex = _Lexer(content)
+    n = len(content)
+    out: list[dict] = []
+    while True:
+        lex.skip_ws()
+        if lex.pos >= n:
+            break
+        if lex.peek() in b"([</+-.0123456789":
+            try:
+                lex.object()
+            except ValueError:
+                break
+            continue
+        op = lex.keyword()
+        if not op:
+            break
+        if op != "BI":
+            continue
+        meta, data = _parse_inline_image(lex)
+        filt = meta.get("Filter", "")
+        if isinstance(filt, list):
+            filt = filt[-1] if filt else ""
+        filt = str(filt)
+        cs = str(meta.get("ColorSpace", ""))
+        parms = meta.get("DecodeParms")
+        if isinstance(parms, list):
+            parms = parms[-1] if parms else None
+        out.append(
+            {
+                "name": f"Inline{len(out) + 1}",
+                "width": int(meta.get("Width", 0)),
+                "height": int(meta.get("Height", 0)),
+                "filter": _INLINE_FILTER_ABBREV.get(filt, filt),
+                "colorspace": _INLINE_CS_ABBREV.get(cs, cs),
+                "decode_parms": (
+                    {str(k): v for k, v in parms.items()}
+                    if isinstance(parms, dict)
+                    else None
+                ),
+                "data": data,
+            }
+        )
+    return out
+
+
 def _interpret_text(content: bytes, fonts: dict | None = None) -> str:
     """Run the text operators of one page's content stream.
 
@@ -2341,7 +2510,14 @@ def _interpret_text(content: bytes, fonts: dict | None = None) -> str:
         op = lex.keyword()
         if not op:
             break
-        if op == "BT":
+        if op == "BI":
+            # inline image: skip its dict AND binary payload — the raw
+            # bytes would otherwise be tokenized as (garbage) operators
+            try:
+                _parse_inline_image(lex)
+            except ValueError:
+                break
+        elif op == "BT":
             pass
         elif op == "ET":
             flush_block()
@@ -2446,5 +2622,9 @@ def extract_pdf_images(data: bytes) -> list[list[dict]]:
                         "data": doc.raw_stream_bytes(ref.num),
                     }
                 )
+        # inline images (BI..ID..EI) live in the content stream itself —
+        # page_content already decrypted/unfiltered the stream, so the
+        # payload needs no _protect handling here
+        imgs.extend(_inline_image_listing(doc.page_content(p)))
         out.append(imgs)
     return out
