@@ -2138,6 +2138,48 @@ FROM documents
 """
 
 
+def q_extract_pptx_text(spark, sf_dir):
+    """Text extraction from real .pptx decks (round-5, NEW — parked in
+    all_queries(); the driver snapshot is already taken this round):
+    each document's text becomes a two-slide presentation whose slide
+    PARTS are named in reverse deck order, so extraction must resolve
+    the deck through presentation.xml's sldIdLst + the rels part (a
+    name-sorting extractor reads the deck backwards and breaks the
+    hash).  Runs split mid-slide, <a:br/> carries newlines; the oracle
+    replays the XML-1.0 projection — extracted == sanitize(text)."""
+    from pdf_extraction_spark.operators.pptx_text import extract_pptx_roundtrip
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_pptx_roundtrip(d, "doc_id", "text")
+
+
+_ORACLE_PPTX_TEXT = r"""
+SELECT doc_id,
+       CAST(2 AS INT) AS n_slides,
+       CAST(length(coalesce(text, '')) // 2 AS INT) AS slide1_chars,
+       CAST(length(coalesce(text, '')) AS INT) AS n_chars,
+       regexp_replace(regexp_replace(coalesce(text, ''), '\r', '?', 'g'),
+                      '[\x00-\x08\x0B\x0C\x0E-\x1F\x{FFFE}\x{FFFF}]', '?', 'g') AS extracted_text
+FROM documents
+"""
+
+
+def q_extract_odt_text(spark, sf_dir):
+    """Text extraction from real .odt packages — the OpenDocument
+    family (round-5, NEW — parked in all_queries(); the driver snapshot
+    is already taken this round): ODF encodes whitespace as ELEMENTS
+    (text:tab, text:line-break, text:s with a count), so the builder
+    emits them per spec — mimetype member first and STORED (ODF 1.2
+    §3.3) — and extraction must invert every one across split spans.
+    Shares the docx oracle: the XML projection and the paragraph shape
+    are identical, so any ODF-specific defect breaks the same
+    identity."""
+    from pdf_extraction_spark.operators.odt_text import extract_odt_roundtrip
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_odt_roundtrip(d, "doc_id", "text")
+
+
 def q_extract_xlsx_text(spark, sf_dir):
     """Text extraction from real .xlsx workbooks — the OOXML container
     whose text layer is INDIRECT (round-5, NEW — parked in
@@ -3070,6 +3112,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_tiff_g4": q_multimodal_tiff_g4,
         "extract_docx_text": q_extract_docx_text,
         "extract_xlsx_text": q_extract_xlsx_text,
+        "extract_pptx_text": q_extract_pptx_text,
+        "extract_odt_text": q_extract_odt_text,
         "extract_rtf_text": q_extract_rtf_text,
         "extract_epub_text": q_extract_epub_text,
         "multimodal_ico_decode": q_multimodal_ico_decode,
@@ -3298,6 +3342,8 @@ def all_oracles() -> dict[str, str]:
         "multimodal_tiff_g4": _ORACLE_TIFF_G4,
         "extract_docx_text": _ORACLE_DOCX_TEXT,
         "extract_xlsx_text": _ORACLE_XLSX_TEXT,
+        "extract_pptx_text": _ORACLE_PPTX_TEXT,
+        "extract_odt_text": _ORACLE_DOCX_TEXT,
         "extract_rtf_text": _ORACLE_RTF_TEXT,
         "extract_epub_text": _ORACLE_EPUB_TEXT,
         "multimodal_ico_decode": _ORACLE_ICO_DECODE,

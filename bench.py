@@ -64,6 +64,8 @@ HEADLINE = [
     "multimodal_tiff_g4",
     "extract_docx_text",
     "extract_xlsx_text",
+    "extract_pptx_text",
+    "extract_odt_text",
     "extract_rtf_text",
     "extract_pdf_text",
     # NOT in the headline (deliberate slow paths whose cost is the

@@ -96,14 +96,19 @@ def sniff_doc_type(raw: bytes) -> str:
         try:
             with zipfile.ZipFile(io.BytesIO(raw)) as z:
                 names = set(z.namelist())
+                mime = z.read("mimetype") if "mimetype" in names else b""
         except Exception:
             return "zip"
         if "word/document.xml" in names:
             return "docx"
         if "xl/workbook.xml" in names:
             return "xlsx"
+        if "ppt/presentation.xml" in names:
+            return "pptx"
         if "META-INF/container.xml" in names:
             return "epub"
+        if mime == b"application/vnd.oasis.opendocument.text":
+            return "odt"
         return "zip"
     for magic, t in _IMAGE_MAGIC:
         if raw[: len(magic)] == magic:
@@ -279,6 +284,16 @@ def extract_any(raw: bytes, _depth: int = 0) -> tuple[str, str | None]:
         return t, None if rows is None else "\n".join(
             "\t".join(row) for row in rows
         )
+    if t == "pptx":
+        from pdf_extraction_spark.operators.pptx_text import extract_pptx_slides
+
+        slides = extract_pptx_slides(raw)
+        return t, None if slides is None else "\n".join(slides)
+    if t == "odt":
+        from pdf_extraction_spark.operators.odt_text import extract_odt_paragraphs
+
+        paras = extract_odt_paragraphs(raw)
+        return t, None if paras is None else "\n".join(paras)
     if t == "epub":
         from pdf_extraction_spark.operators.epub_text import (
             extract_epub_chapters,

@@ -13,6 +13,8 @@ from pdf_extraction_spark.operators.any_text import (
     sniff_doc_type,
 )
 from pdf_extraction_spark.operators.docx_text import build_docx
+from pdf_extraction_spark.operators.odt_text import build_odt
+from pdf_extraction_spark.operators.pptx_text import build_pptx
 from pdf_extraction_spark.operators.xlsx_text import build_xlsx
 from pdf_extraction_spark.operators.epub_text import build_epub
 from pdf_extraction_spark.operators.jpeg import encode_baseline_jpeg
@@ -27,6 +29,8 @@ def test_sniff_types():
         (build_pdf(["x"], encrypt="aes-128"), "pdf"),
         (build_docx(["para"]), "docx"),
         (build_xlsx([["cell", "42"]]), "xlsx"),
+        (build_pptx(["slide"]), "pptx"),
+        (build_odt(["para"]), "odt"),
         (build_epub(["chap"]), "epub"),
         (synth_png_bytes(3), "png"),
         (encode_baseline_jpeg(img), "jpeg"),
@@ -69,6 +73,10 @@ def test_extract_any_per_type():
     assert t == "epub" and "c1" in text and "c2" in text
     t, text = extract_any(build_xlsx([["name", "qty"], ["bolt", "42"]]))
     assert (t, text) == ("xlsx", "name\tqty\nbolt\t42")
+    t, text = extract_any(build_pptx(["deck title", "point one"]))
+    assert (t, text) == ("pptx", "deck title\npoint one")
+    t, text = extract_any(build_odt(["open  doc", "second\tpara"]))
+    assert (t, text) == ("odt", "open  doc\nsecond\tpara")
     t, text = extract_any("déjà vu".encode())
     assert t == "text" and text == "déjà vu"
     from pdf_extraction_spark.operators.rtf_text import build_rtf
@@ -204,7 +212,10 @@ def test_gzip_members_dispatch_transparently():
 
 
 @settings(max_examples=60, deadline=None)
-@given(_doc_text, st.sampled_from(["pdf", "docx", "epub", "rtf", "text"]))
+@given(
+    _doc_text,
+    st.sampled_from(["pdf", "docx", "epub", "rtf", "pptx", "odt", "text"]),
+)
 def test_property_routing_identity(text, fmt):
     """build_<fmt>(text) -> extract_any recovers the format AND (after
     each builder's documented sanitize contract) the text."""
@@ -229,6 +240,16 @@ def test_property_routing_identity(text, fmt):
         # RTF carries every character: exact identity, no sanitize
         t, got = extract_any(build_rtf([text]))
         assert t == "rtf" and got == text
+    elif fmt == "pptx":
+        from pdf_extraction_spark.operators.docx_text import sanitize_for_xml
+
+        t, got = extract_any(build_pptx([text]))
+        assert t == "pptx" and got == sanitize_for_xml(text)
+    elif fmt == "odt":
+        from pdf_extraction_spark.operators.docx_text import sanitize_for_xml
+
+        t, got = extract_any(build_odt([text]))
+        assert t == "odt" and got == sanitize_for_xml(text)
     else:
         t, got = extract_any(text.encode())
         assert t == "text" and got == text
